@@ -1,0 +1,123 @@
+"""VGG16 feature losses: perceptual / style (Gram) / contextual.
+
+Rebuild of reference modules/loss.py:16-65 (VGGLoss) and
+external_function.py:180-192 (StyleLoss), 231-273 (contextual_loss).
+
+The VGG16 trunk is a flax module covering torchvision ``vgg16().features[:23]``
+with taps after relu1_2 / relu2_2 / relu3_3 / relu4_3 — the four blocks the
+reference splits at ([0:4], [4:9], [9:16], [16:23], loss.py:22-25). Pretrained
+ImageNet weights are loaded through tools/convert_torch.py; with random
+weights the module is still exercise-able for tests.
+
+Inputs are NHWC in [0, 1]; images larger than 224 are bilinearly rescaled
+(align_corners=True) to 224 and ImageNet-normalized, as in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from face_mask_inpaint_tpu.nn.layers import Conv2d
+from face_mask_inpaint_tpu.ops.resize import max_pool2d, scale_img
+
+Dtype = Any
+
+__all__ = ["VGG16Features", "vgg_loss", "style_loss_gram", "contextual_loss"]
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# (convs per block, channels) for the four tapped VGG16 blocks.
+_BLOCKS: Sequence[tuple[int, int]] = ((2, 64), (2, 128), (3, 256), (3, 512))
+
+
+class VGG16Features(nn.Module):
+    """VGG16 trunk up to relu4_3, returning the four tap activations."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        taps = []
+        for b, (n_convs, ch) in enumerate(_BLOCKS):
+            if b > 0:
+                x = max_pool2d(x, 2)
+            for c in range(n_convs):
+                x = Conv2d(ch, 3, padding=1, dtype=self.dtype, name=f"conv{b + 1}_{c + 1}")(x)
+                x = jax.nn.relu(x)
+            taps.append(x)
+        return taps
+
+
+def gram_matrix(feats: jax.Array) -> jax.Array:
+    """GramMatrix (external_function.py:180-185) on NHWC: [N, C, C] / (C*H*W)."""
+    n, h, w, c = feats.shape
+    f = feats.reshape(n, h * w, c)
+    g = jnp.einsum("npc,npd->ncd", f, f, preferred_element_type=jnp.float32)
+    return g / (c * h * w)
+
+
+def style_loss_gram(x: jax.Array, y: jax.Array) -> jax.Array:
+    """StyleLoss: L1 between Gram matrices, target detached."""
+    return jnp.mean(jnp.abs(gram_matrix(x) - jax.lax.stop_gradient(gram_matrix(y))))
+
+
+def contextual_loss(x: jax.Array, y: jax.Array, h: float = 0.5) -> jax.Array:
+    """Contextual loss (external_function.py:231-273) on NHWC feature maps."""
+    n, hh, ww, c = x.shape
+    y_mu = jnp.mean(y, axis=(0, 1, 2), keepdims=True)  # mean over N,H,W per channel
+    x_c = x - y_mu
+    y_c = y - y_mu
+    x_n = x_c / jnp.linalg.norm(x_c, axis=-1, keepdims=True)
+    y_n = y_c / jnp.linalg.norm(y_c, axis=-1, keepdims=True)
+    x_n = x_n.reshape(n, hh * ww, c)
+    y_n = y_n.reshape(n, hh * ww, c)
+    cos = jnp.einsum("nic,njc->nij", x_n, y_n, preferred_element_type=jnp.float32)
+    d = 1.0 - cos
+    d_min = jnp.min(d, axis=2, keepdims=True)
+    d_tilde = d / (d_min + 1e-5)
+    w = jnp.exp((1.0 - d_tilde) / h)
+    cx_ij = w / jnp.sum(w, axis=2, keepdims=True)
+    cx = jnp.mean(jnp.max(cx_ij, axis=1), axis=1)
+    return jnp.mean(-jnp.log(cx + 1e-5))
+
+
+def _preprocess(img: jax.Array) -> jax.Array:
+    if img.shape[1] > 224:  # "Filter HQ" (loss.py:48-49)
+        img = scale_img(img, (224, 224))
+    mean = jnp.asarray(_IMAGENET_MEAN, img.dtype)
+    std = jnp.asarray(_IMAGENET_STD, img.dtype)
+    return (img - mean) / std
+
+
+def vgg_loss(
+    vgg_params,
+    input_img: jax.Array,
+    target_img: jax.Array,
+    loss_type: str = "perceptual",
+    dtype: Dtype = jnp.float32,
+) -> jax.Array:
+    """VGGLoss.forward (loss.py:45-65): sum of per-block normalized losses.
+
+    perceptual: sum_i L1(x_i, y_i) / dim_i
+    style:      sum_i StyleLoss / (C_i^2 * dim_i)
+    contextual: contextual_loss on block 3 only, / dim_3
+    """
+    model = VGG16Features(dtype=dtype)
+    xs = model.apply({"params": vgg_params}, _preprocess(input_img))
+    ys = model.apply({"params": vgg_params}, _preprocess(target_img))
+    loss = jnp.float32(0.0)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        dim = float(x.shape[1] * x.shape[2] * x.shape[3])
+        if loss_type == "perceptual":
+            loss = loss + jnp.mean(jnp.abs(x - y)) / dim
+        elif loss_type == "style":
+            c = float(x.shape[-1])
+            loss = loss + style_loss_gram(x, y) / (c * c * dim)
+        elif loss_type == "contextual" and i == 3:
+            loss = loss + contextual_loss(x, y) / dim
+    return loss

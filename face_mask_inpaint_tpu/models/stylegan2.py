@@ -1,0 +1,493 @@
+"""StyleGAN2 generator + discriminator, TPU-native.
+
+Rebuild of reference modules/psp/stylegan2/model.py. The two CUDA ops it
+JIT-compiles (upfirdn2d, fused_bias_act) are ops/upfirdn2d.py and
+ops/fused_act.py here.
+
+TPU-first redesign of ModulatedConv2d (reference model.py:187-279): the torch
+version materializes per-sample weights and runs a groups=batch convolution —
+a poor fit for the MXU. Because convolution is linear and the style scale
+broadcasts over input channels, we refactor algebraically:
+
+    conv(x, scale*W*style_b)        == conv(x * style_b, scale*W)
+    demod_b,o * conv(x, W')[...,o]  == per-(sample,channel) output scale
+
+so the MXU sees ONE large batched convolution with shared weights; the style
+modulation and demodulation become cheap elementwise scalings XLA fuses into
+the conv epilogue. Numerics are identical (same products, same demod factor
+computed from scale*W*style).
+
+Stateful torch idioms made explicit:
+- per-layer noise buffers live in the ``noises`` variable collection;
+  randomize_noise draws from the flax 'noise' PRNG stream instead.
+- style-mixing inject_index is an explicit argument (torch used
+  random.randint, model.py:521).
+
+Layout: NHWC. Style vectors: [N, 512].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from face_mask_inpaint_tpu.ops.conv import conv2d, conv_transpose2d
+from face_mask_inpaint_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
+from face_mask_inpaint_tpu.ops.upfirdn2d import blur, make_kernel, upsample_2d
+
+Dtype = Any
+
+__all__ = [
+    "PixelNorm",
+    "EqualConv2d",
+    "EqualLinear",
+    "ModulatedConv2d",
+    "StyledConv",
+    "ToRGB",
+    "Generator",
+    "Discriminator",
+    "ConvLayer",
+    "channels_for",
+]
+
+
+def channels_for(size: int, channel_multiplier: int = 2) -> dict[int, int]:
+    """Per-resolution channel table (model.py:398-408)."""
+    return {
+        4: 512, 8: 512, 16: 512, 32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
+
+
+class PixelNorm(nn.Module):
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x * jax.lax.rsqrt(jnp.mean(x**2, axis=-1, keepdims=True) + 1e-8)
+
+
+class EqualLinear(nn.Module):
+    """Equalized-lr linear (model.py:135-171): weight stored N(0,1)/lr_mul,
+    used scaled by (1/sqrt(in))*lr_mul; bias scaled by lr_mul."""
+
+    out_dim: int
+    use_bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+    activation: Optional[str] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        w = self.param(
+            "weight",
+            lambda k, s: jax.random.normal(k, s, jnp.float32) / self.lr_mul,
+            (in_dim, self.out_dim),
+        )
+        scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
+        b = None
+        if self.use_bias:
+            b = self.param(
+                "bias", lambda k, s: jnp.full(s, self.bias_init, jnp.float32),
+                (self.out_dim,),
+            )
+        y = x.astype(self.dtype) @ (w * scale).astype(self.dtype)
+        if self.activation == "fused_lrelu":
+            return fused_leaky_relu(y, (b * self.lr_mul).astype(y.dtype) if b is not None else None)
+        if b is not None:
+            y = y + (b * self.lr_mul).astype(y.dtype)
+        return y
+
+
+class EqualConv2d(nn.Module):
+    """Equalized-lr conv (model.py:94-132)."""
+
+    out_channel: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_channel = x.shape[-1]
+        w = self.param(
+            "weight", nn.initializers.normal(stddev=1.0),
+            (self.kernel_size, self.kernel_size, in_channel, self.out_channel),
+        )
+        scale = 1.0 / math.sqrt(in_channel * self.kernel_size**2)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channel,)) if self.use_bias else None
+        return conv2d(
+            x.astype(self.dtype), (w * scale).astype(self.dtype),
+            b.astype(self.dtype) if b is not None else None,
+            stride=self.stride, padding=self.padding,
+        )
+
+
+class ModulatedConv2d(nn.Module):
+    """Style-modulated conv (model.py:187-279), input/output-scaling form."""
+
+    out_channel: int
+    kernel_size: int
+    demodulate: bool = True
+    upsample: bool = False
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
+        """x: [N, H, W, Cin]; style: [N, style_dim]."""
+        in_channel = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "weight", nn.initializers.normal(stddev=1.0),
+            (k, k, in_channel, self.out_channel),
+        )
+        scale = 1.0 / math.sqrt(in_channel * k**2)
+        # style -> per-sample input-channel scale, bias_init=1 (model.py:232)
+        s = EqualLinear(in_channel, bias_init=1.0, dtype=jnp.float32, name="modulation")(
+            style.astype(jnp.float32)
+        )  # [N, Cin]
+
+        ws = (w * scale).astype(jnp.float32)
+        if self.demodulate:
+            # demod[b, o] = rsqrt(sum_hwi (scale*W*style_b)^2 + 1e-8)
+            demod = jax.lax.rsqrt(
+                jnp.einsum("hwio,bi->bo", ws * ws, s * s) + 1e-8
+            )
+
+        xs = x * s[:, None, None, :].astype(x.dtype)
+        wd = ws.astype(self.dtype)
+        if self.upsample:
+            out = conv_transpose2d(xs, wd, stride=2, padding=0, output_padding=0)
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pad0 = (p + 1) // 2 + factor - 1
+            pad1 = p // 2 + 1
+            bk = make_kernel(self.blur_kernel) * (factor**2)
+            out = blur(out, bk, pad=(pad0, pad1))
+        elif self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            bk = make_kernel(self.blur_kernel)
+            out = blur(xs, bk, pad=(pad0, pad1))
+            out = conv2d(out, wd, stride=2, padding=0)
+        else:
+            out = conv2d(xs, wd, padding=k // 2)
+
+        if self.demodulate:
+            out = out * demod[:, None, None, :].astype(out.dtype)
+        return out
+
+
+class NoiseInjection(nn.Module):
+    """model.py:282-294; per-layer scalar weight starting at zero."""
+
+    @nn.compact
+    def __call__(self, image: jax.Array, noise: Optional[jax.Array] = None) -> jax.Array:
+        w = self.param("weight", nn.initializers.zeros, (1,))
+        if noise is None:
+            n, h, wd, _ = image.shape
+            noise = jax.random.normal(self.make_rng("noise"), (n, h, wd, 1), image.dtype)
+        return image + w.astype(image.dtype) * noise.astype(image.dtype)
+
+
+class StyledConv(nn.Module):
+    """ModulatedConv2d + NoiseInjection + FusedLeakyReLU (model.py:311-346)."""
+
+    out_channel: int
+    kernel_size: int
+    upsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    demodulate: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style, noise=None):
+        out = ModulatedConv2d(
+            self.out_channel, self.kernel_size, demodulate=self.demodulate,
+            upsample=self.upsample, blur_kernel=self.blur_kernel,
+            dtype=self.dtype, name="conv",
+        )(x, style)
+        out = NoiseInjection(name="noise")(out, noise)
+        bias = self.param("activate_bias", nn.initializers.zeros, (self.out_channel,))
+        return fused_leaky_relu(out, bias)
+
+
+class ToRGB(nn.Module):
+    """model.py:349-369: 1x1 modulated conv (no demod) + bias, skip upsample."""
+
+    upsample: bool = True
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style, skip=None):
+        out = ModulatedConv2d(
+            3, 1, demodulate=False, dtype=self.dtype, name="conv"
+        )(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (3,))
+        out = out + bias.astype(out.dtype)
+        if skip is not None:
+            skip = upsample_2d(skip, make_kernel(self.blur_kernel), factor=2)
+            out = out + skip
+        return out
+
+
+class Generator(nn.Module):
+    """StyleGAN2 synthesis network (model.py:372-550)."""
+
+    size: int = 1024
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    lr_mlp: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.size))
+
+    @property
+    def num_layers(self) -> int:
+        return (self.log_size - 2) * 2 + 1
+
+    @property
+    def n_latent(self) -> int:
+        return self.log_size * 2 - 2
+
+    def setup(self):
+        self.channels = channels_for(self.size, self.channel_multiplier)
+        self.style = [
+            EqualLinear(
+                self.style_dim, lr_mul=self.lr_mlp, activation="fused_lrelu",
+                dtype=self.dtype, name=f"style_{i + 1}",
+            )
+            for i in range(self.n_mlp)
+        ]
+        self.pixel_norm = PixelNorm()
+        self.input_const = self.param(
+            "input", nn.initializers.normal(stddev=1.0), (1, 4, 4, self.channels[4])
+        )
+        self.conv1 = StyledConv(
+            self.channels[4], 3, blur_kernel=self.blur_kernel, dtype=self.dtype
+        )
+        self.to_rgb1 = ToRGB(upsample=False, dtype=self.dtype)
+
+        convs = []
+        to_rgbs = []
+        in_ch = self.channels[4]
+        for i in range(3, self.log_size + 1):
+            out_ch = self.channels[2**i]
+            convs.append(StyledConv(
+                out_ch, 3, upsample=True, blur_kernel=self.blur_kernel,
+                dtype=self.dtype,
+            ))
+            convs.append(StyledConv(
+                out_ch, 3, blur_kernel=self.blur_kernel, dtype=self.dtype
+            ))
+            to_rgbs.append(ToRGB(dtype=self.dtype))
+            in_ch = out_ch
+        self.convs = convs
+        self.to_rgbs = to_rgbs
+
+    def _noise_buffers(self):
+        """Fixed per-layer noise buffers (model.py:428-431), collection 'noises'."""
+        bufs = []
+        for layer_idx in range(self.num_layers):
+            res = (layer_idx + 5) // 2
+            shape = (1, 2**res, 2**res, 1)
+            var = self.variable(
+                "noises", f"noise_{layer_idx}",
+                lambda s=shape: jax.random.normal(self.make_rng("params"), s),
+            )
+            bufs.append(var.value)
+        return bufs
+
+    def map_style(self, z: jax.Array) -> jax.Array:
+        """The 8-layer style MLP (PixelNorm + EqualLinear stack)."""
+        h = self.pixel_norm(z)
+        for layer in self.style:
+            h = layer(h)
+        return h
+
+    def mean_latent(self, rng: jax.Array, n_latent: int) -> jax.Array:
+        latent_in = jax.random.normal(rng, (n_latent, self.style_dim), jnp.float32)
+        return jnp.mean(self.map_style(latent_in), axis=0, keepdims=True)
+
+    def get_latent(self, z: jax.Array) -> jax.Array:
+        return self.map_style(z)
+
+    def __call__(
+        self,
+        styles: Sequence[jax.Array],
+        return_latents: bool = False,
+        return_features: bool = False,
+        inject_index: Optional[int] = None,
+        truncation: float = 1.0,
+        truncation_latent: Optional[jax.Array] = None,
+        input_is_latent: bool = False,
+        noise: Optional[Sequence[Optional[jax.Array]]] = None,
+        randomize_noise: bool = True,
+    ):
+        if not input_is_latent:
+            styles = [self.map_style(s) for s in styles]
+
+        if noise is None:
+            if randomize_noise:
+                noise = [None] * self.num_layers
+            else:
+                noise = self._noise_buffers()
+
+        if truncation < 1:
+            styles = [
+                truncation_latent + truncation * (s - truncation_latent)
+                for s in styles
+            ]
+
+        if len(styles) < 2:
+            inject_index = self.n_latent
+            if styles[0].ndim < 3:
+                latent = jnp.repeat(styles[0][:, None, :], inject_index, axis=1)
+            else:
+                latent = styles[0]
+        else:
+            if inject_index is None:
+                raise ValueError(
+                    "style mixing requires an explicit inject_index "
+                    "(the torch version drew random.randint at trace time)"
+                )
+            latent = jnp.concatenate([
+                jnp.repeat(styles[0][:, None, :], inject_index, axis=1),
+                jnp.repeat(styles[1][:, None, :], self.n_latent - inject_index, axis=1),
+            ], axis=1)
+
+        batch = latent.shape[0]
+        out = jnp.broadcast_to(
+            self.input_const.astype(self.dtype),
+            (batch, *self.input_const.shape[1:]),
+        )
+        out = self.conv1(out, latent[:, 0], noise=noise[0])
+        skip = self.to_rgb1(out, latent[:, 1])
+
+        i = 1
+        for idx in range(len(self.to_rgbs)):
+            conv_a = self.convs[2 * idx]
+            conv_b = self.convs[2 * idx + 1]
+            out = conv_a(out, latent[:, i], noise=noise[1 + 2 * idx])
+            out = conv_b(out, latent[:, i + 1], noise=noise[2 + 2 * idx])
+            skip = self.to_rgbs[idx](out, latent[:, i + 2], skip)
+            i += 2
+
+        image = skip
+        if return_latents:
+            return image, latent
+        if return_features:
+            return image, out
+        return image, None
+
+
+class ConvLayer(nn.Module):
+    """Discriminator conv layer (model.py:553-599): optional blur+stride-2
+    downsample, EqualConv2d, fused or scaled leaky relu."""
+
+    out_channel: int
+    kernel_size: int
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+    activate: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            x = blur(x, make_kernel(self.blur_kernel), pad=(pad0, pad1))
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, self.kernel_size // 2
+        x = EqualConv2d(
+            self.out_channel, self.kernel_size, stride=stride, padding=padding,
+            use_bias=self.use_bias and not self.activate, dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.activate:
+            if self.use_bias:
+                bias = self.param("activate_bias", nn.initializers.zeros, (self.out_channel,))
+                x = fused_leaky_relu(x, bias)
+            else:
+                x = scaled_leaky_relu(x)
+        return x
+
+
+class DResBlock(nn.Module):
+    """Discriminator residual block (model.py:602-624)."""
+
+    in_channel: int
+    out_channel: int
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out = ConvLayer(self.in_channel, 3, dtype=self.dtype, name="conv1")(x)
+        out = ConvLayer(self.out_channel, 3, downsample=True, dtype=self.dtype, name="conv2")(out)
+        skip = ConvLayer(
+            self.out_channel, 1, downsample=True, activate=False, use_bias=False,
+            dtype=self.dtype, name="skip",
+        )(x)
+        return (out + skip) / math.sqrt(2)
+
+
+class Discriminator(nn.Module):
+    """StyleGAN2 discriminator with minibatch stddev (model.py:627-685)."""
+
+    size: int = 1024
+    channel_multiplier: int = 2
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    stddev_group: int = 4
+    stddev_feat: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        channels = channels_for(self.size, self.channel_multiplier)
+        log_size = int(math.log2(self.size))
+        out = ConvLayer(channels[self.size], 1, dtype=self.dtype, name="conv_in")(x)
+        in_ch = channels[self.size]
+        for i in range(log_size, 2, -1):
+            out_ch = channels[2 ** (i - 1)]
+            out = DResBlock(in_ch, out_ch, dtype=self.dtype, name=f"res_{i}")(out)
+            in_ch = out_ch
+
+        n, h, w, c = out.shape
+        group = min(n, self.stddev_group)
+        stddev = out.reshape(group, -1, h, w, self.stddev_feat, c // self.stddev_feat)
+        stddev = jnp.sqrt(jnp.var(stddev, axis=0) + 1e-8)
+        stddev = jnp.mean(stddev, axis=(1, 3, 4), keepdims=True)  # over HW and feat
+        stddev = jnp.mean(stddev, axis=4)
+        stddev = jnp.tile(stddev.reshape(1, 1, 1, 1), (n, h, w, 1))
+        out = jnp.concatenate([out, stddev], axis=-1)
+
+        out = ConvLayer(channels[4], 3, dtype=self.dtype, name="final_conv")(out)
+        out = out.reshape(n, -1)
+        out = EqualLinear(
+            channels[4], activation="fused_lrelu", dtype=self.dtype, name="final_linear1",
+        )(out)
+        return EqualLinear(1, dtype=self.dtype, name="final_linear2")(out)

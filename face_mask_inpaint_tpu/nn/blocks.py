@@ -1,0 +1,383 @@
+"""PICNet-style building blocks and the attention modules.
+
+TPU-native re-design of reference modules/pluralistic_model/base_function.py
+(ResBlock family, Auto_Attn, CoordConv) and modules/example_guided_att.py
+(ExampleGuidedAttention). All attention maps here are tiny ([N, HW, HW] with
+HW <= 64^2), so they are materialized as plain batched matmuls on the MXU —
+no flash/blockwise machinery is needed (see SURVEY.md §5).
+
+Layout: NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from face_mask_inpaint_tpu.nn.layers import (
+    Activation,
+    Conv2d,
+    ConvTranspose2d,
+    make_norm,
+)
+from face_mask_inpaint_tpu.ops.conv import pixel_shuffle
+from face_mask_inpaint_tpu.ops.resize import avg_pool2d, reflection_pad2d
+
+Dtype = Any
+
+__all__ = [
+    "AddCoords",
+    "CoordConvWrap",
+    "ResBlock",
+    "ResBlockEncoderOptimized",
+    "ResBlockDecoder",
+    "Output",
+    "AutoAttention",
+    "ExampleGuidedAttention",
+]
+
+
+def add_coords(x: jax.Array, with_r: bool = False) -> jax.Array:
+    """AddCoords (base_function.py:152-184) on NHWC: append normalized
+    height/width index channels (and optionally radius)."""
+    n, h, w, _ = x.shape
+    hh = jnp.linspace(-1.0, 1.0, h, dtype=x.dtype)[None, :, None, None]
+    ww = jnp.linspace(-1.0, 1.0, w, dtype=x.dtype)[None, None, :, None]
+    hh = jnp.broadcast_to(hh, (n, h, w, 1))
+    ww = jnp.broadcast_to(ww, (n, h, w, 1))
+    feats = [x, hh, ww]
+    if with_r:
+        feats.append(jnp.sqrt(hh**2 + ww**2))
+    return jnp.concatenate(feats, axis=-1)
+
+
+class AddCoords(nn.Module):
+    with_r: bool = False
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return add_coords(x, self.with_r)
+
+
+class CoordConvWrap(nn.Module):
+    """coord_conv factory (base_function.py:136-146): plain (optionally
+    spectral-normalized) conv, or AddCoords + conv when use_coord."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    use_spect: bool = False
+    use_coord: bool = False
+    with_r: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_coord:
+            x = add_coords(x, self.with_r)
+        return Conv2d(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            use_bias=self.use_bias,
+            use_spect=self.use_spect,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block with none/up/down sampling
+    (base_function.py:207-268).
+
+    up: both branches output 4*output_nc channels, then PixelShuffle(2).
+    down: both branches AvgPool2d(2) after their convs.
+    """
+
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "none"
+    activation: str = "LeakyReLU"
+    sample_type: str = "none"
+    use_spect: bool = False
+    use_coord: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
+        out_nc = self.output_nc
+        if self.sample_type == "up":
+            out_nc = out_nc * 4
+        elif self.sample_type not in ("none", "down"):
+            raise NotImplementedError(f"sample type [{self.sample_type}] is not found")
+
+        act = Activation(self.activation, name="act")
+
+        def cc(feats, ks, pad, name):
+            return CoordConvWrap(
+                features=feats,
+                kernel_size=ks,
+                padding=pad,
+                use_spect=self.use_spect,
+                use_coord=self.use_coord,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        h = x
+        norm1 = make_norm(self.norm, "norm1", train)
+        if norm1 is not None:
+            h = norm1(h)
+        h = act(h)
+        h = cc(hidden_nc, 3, 1, "conv1")(h)
+        norm2 = make_norm(self.norm, "norm2", train)
+        if norm2 is not None:
+            h = norm2(h)
+        h = act(h)
+        h = cc(out_nc, 3, 1, "conv2")(h)
+
+        s = cc(out_nc, 1, 0, "bypass")(x)
+
+        if self.sample_type == "up":
+            return pixel_shuffle(h, 2) + pixel_shuffle(s, 2)
+        if self.sample_type == "down":
+            return avg_pool2d(h, 2) + avg_pool2d(s, 2)
+        return h + s
+
+
+class ResBlockEncoderOptimized(nn.Module):
+    """Stem block (base_function.py:271-305): convs first (no pre-activation),
+    AvgPool at the end of the residual branch; shortcut pools then 1x1."""
+
+    output_nc: int
+    norm: str = "none"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+    use_coord: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        act = Activation(self.activation, name="act")
+
+        def cc(feats, ks, pad, name):
+            return CoordConvWrap(
+                features=feats,
+                kernel_size=ks,
+                padding=pad,
+                use_spect=self.use_spect,
+                use_coord=self.use_coord,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        h = cc(self.output_nc, 3, 1, "conv1")(x)
+        norm1 = make_norm(self.norm, "norm1", train)
+        if norm1 is not None:
+            h = norm1(h)
+        h = act(h)
+        h = cc(self.output_nc, 3, 1, "conv2")(h)
+        h = avg_pool2d(h, 2)
+
+        s = cc(self.output_nc, 1, 0, "bypass")(avg_pool2d(x, 2))
+        return h + s
+
+
+class ResBlockDecoder(nn.Module):
+    """Upsampling decoder block (base_function.py:308-364): 3x3 conv then
+    stride-2 ConvTranspose (k=3, p=1, op=1); transposed-conv shortcut."""
+
+    output_nc: int
+    hidden_nc: Optional[int] = None
+    norm: str = "instance"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+    use_coord: bool = False  # unused by the reference block; kept for parity
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
+        act = Activation(self.activation, name="act")
+
+        h = x
+        norm1 = make_norm(self.norm, "norm1", train)
+        if norm1 is not None:
+            h = norm1(h)
+        h = act(h)
+        h = Conv2d(
+            hidden_nc, 3, padding=1, use_spect=self.use_spect,
+            kernel_init=self.kernel_init, dtype=self.dtype, name="conv1",
+        )(h)
+        norm2 = make_norm(self.norm, "norm2", train)
+        if norm2 is not None:
+            h = norm2(h)
+        h = act(h)
+        h = ConvTranspose2d(
+            self.output_nc, 3, stride=2, padding=1, output_padding=1,
+            use_spect=self.use_spect, kernel_init=self.kernel_init,
+            dtype=self.dtype, name="conv2",
+        )(h)
+
+        s = ConvTranspose2d(
+            self.output_nc, 3, stride=2, padding=1, output_padding=1,
+            use_spect=self.use_spect, kernel_init=self.kernel_init,
+            dtype=self.dtype, name="bypass",
+        )(x)
+        return h + s
+
+
+class Output(nn.Module):
+    """Output head (base_function.py:367-398): [norm] act, reflection pad,
+    conv (valid), tanh."""
+
+    output_nc: int
+    kernel_size: int = 3
+    norm: str = "none"
+    activation: str = "LeakyReLU"
+    use_spect: bool = False
+    use_coord: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        act = Activation(self.activation, name="act")
+        norm1 = make_norm(self.norm, "norm1", train)
+        h = x
+        if norm1 is not None:
+            h = norm1(h)
+        h = act(h)
+        h = reflection_pad2d(h, self.kernel_size // 2)
+        h = CoordConvWrap(
+            features=self.output_nc,
+            kernel_size=self.kernel_size,
+            padding=0,
+            use_spect=self.use_spect,
+            use_coord=self.use_coord,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            name="conv1",
+        )(h)
+        return jnp.tanh(h)
+
+
+def _attend(att: jax.Array, feats: jax.Array) -> jax.Array:
+    """out[n,i,c] = sum_j att[n,i,j] * feats[n,j,c] on flattened NHWC feats."""
+    n, h, w, c = feats.shape
+    out = jnp.einsum(
+        "nij,njc->nic", att, feats.reshape(n, h * w, c),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(n, h, w, c).astype(feats.dtype)
+
+
+class AutoAttention(nn.Module):
+    """Short+long-term self-attention (Auto_Attn, base_function.py:401-448).
+
+    Query and key share the same 1x1 projection; attention is a plain
+    [N, HW, HW] softmax matmul (HW <= 4096 here — MXU-friendly, fully
+    materialized).
+    """
+
+    norm: str = "none"
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        pre: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+    ):
+        n, h, w, c = x.shape
+        q = Conv2d(
+            c // 4, 1, kernel_init=self.kernel_init, dtype=self.dtype,
+            name="query_conv",
+        )(x)
+        q = q.reshape(n, h * w, c // 4)
+        energy = jnp.einsum(
+            "nic,njc->nij", q, q, preferred_element_type=jnp.float32
+        )
+        att = jax.nn.softmax(energy, axis=-1).astype(x.dtype)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        out = gamma.astype(x.dtype) * _attend(att, x) + x
+
+        if pre is not None:
+            alpha = self.param("alpha", nn.initializers.zeros, (1,))
+            context_flow = _attend(att, pre)
+            context_flow = (
+                alpha.astype(x.dtype) * (1.0 - mask) * context_flow + mask * pre
+            )
+            out = ResBlock(
+                output_nc=c,
+                hidden_nc=c,
+                norm=self.norm,
+                use_spect=True,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                name="model",
+            )(jnp.concatenate([out, context_flow], axis=-1), train=train)
+
+        return out, att
+
+
+class ExampleGuidedAttention(nn.Module):
+    """The paper's example-guided cross attention
+    (modules/example_guided_att.py:5-41), NHWC.
+
+    A self-similarity map computed from masked-source features re-assembles
+    both source and reference features; inside the mask the raw reference
+    features pass through. Output is channel-concat [ex_guide_flow, src_att],
+    optionally projected by a 1x1 conv.
+    """
+
+    out_channels: Optional[int] = None
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, src_mask: jax.Array, src_feature: jax.Array, ref_feature: jax.Array
+    ) -> jax.Array:
+        """src_mask: [N, H, W, 1]; src/ref_feature: [N, H, W, C]."""
+        n, h, w, c = src_feature.shape
+        q = Conv2d(
+            c // 4, 1, use_bias=False, kernel_init=self.kernel_init,
+            dtype=self.dtype, name="conv",
+        )(src_feature)
+        q = q.reshape(n, h * w, c // 4)
+        # att_map[n, i, j] = softmax_j(q_i . q_j)
+        energy = jnp.einsum(
+            "nic,njc->nij", q, q, preferred_element_type=jnp.float32
+        )
+        att = jax.nn.softmax(energy, axis=-1).astype(src_feature.dtype)
+
+        src_att = _attend(att, src_feature)
+        ref_att = _attend(att, ref_feature)
+
+        ex_guide_flow = (1.0 - src_mask) * ref_att + src_mask * ref_feature
+        out = jnp.concatenate([ex_guide_flow, src_att], axis=-1)
+
+        if self.out_channels is not None:
+            out = Conv2d(
+                self.out_channels, 1, kernel_init=self.kernel_init,
+                dtype=self.dtype, name="out_conv",
+            )(out)
+        return out

@@ -1,0 +1,110 @@
+"""upfirdn2d — the StyleGAN2 resampling primitive, TPU-native.
+
+Semantics (reference modules/psp/stylegan2/op/upfirdn2d_kernel.cu and the
+unreachable torch fallback op/upfirdn2d.py:150-184):
+
+  1. zero-upsample by ``up`` (insert up-1 zeros between samples),
+  2. pad spatially by (pad0, pad1) per edge (negative pad crops),
+  3. 2-D FIR filter with ``kernel`` (true convolution, i.e. flipped
+     cross-correlation),
+  4. downsample by ``down`` (keep every down-th sample).
+
+Output size: (H*up + pad0 + pad1 - kh) // down + 1 (same for W).
+
+TPU design: the whole pipeline is one ``lax.conv_general_dilated`` call with
+``lhs_dilation=up``, ``window_strides=down`` and asymmetric padding — XLA
+lowers this to a single fused depthwise convolution with no materialized
+dilated intermediate. The FIR kernel is shared across channels
+(feature_group_count=C). Gradients come from JAX autodiff of the conv, which
+reproduces the reference's flipped-kernel double-backward
+(op/upfirdn2d.py:98-117) analytically.
+
+A Pallas kernel (`face_mask_inpaint_tpu.ops.pallas.upfirdn2d_pallas`) provides
+a fused fast path for the separable blur kernels used by StyleGAN2; this
+module is the semantic reference and autodiff path.
+
+Layout: NHWC (the reference is NCHW).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from face_mask_inpaint_tpu.ops.conv import depthwise_conv2d
+
+__all__ = ["upfirdn2d", "make_kernel", "upsample_2d", "downsample_2d", "blur"]
+
+
+def make_kernel(k) -> jnp.ndarray:
+    """Normalized FIR kernel from a 1-D or 2-D tap list.
+
+    Matches reference stylegan2/model.py:19-27: outer-product a 1-D kernel and
+    normalize to unit sum.
+    """
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = k[None, :] * k[:, None]
+    return k / jnp.sum(k)
+
+
+def upfirdn2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    up: int = 1,
+    down: int = 1,
+    pad: tuple[int, int] = (0, 0),
+) -> jax.Array:
+    """Apply up-FIR-down resampling to an NHWC array.
+
+    kernel: [kh, kw] float filter, applied as a true convolution.
+    pad: (pad0, pad1) applied to both spatial dims (before filtering,
+    after upsampling), negative values crop.
+    """
+    pad0, pad1 = int(pad[0]), int(pad[1])
+    # Flip the FIR kernel: conv_general_dilated is cross-correlation, the
+    # reference CUDA kernel computes true convolution.
+    k = jnp.flip(kernel, (0, 1))
+    # lhs_dilation produces h*up - (up-1) samples (no trailing zeros); the
+    # zero-insertion spec keeps them, so fold the missing up-1 zeros into the
+    # high-side padding.
+    hi = pad1 + (up - 1)
+    return depthwise_conv2d(
+        x,
+        k,
+        stride=(down, down),
+        padding=((pad0, hi), (pad0, hi)),
+        lhs_dilation=(up, up) if up != 1 else None,
+    )
+
+
+def upsample_2d(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
+    """StyleGAN2 Upsample module (stylegan2/model.py:30-49) on NHWC.
+
+    kernel must already be normalized (make_kernel); gain factor**2 applied.
+    """
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel * (factor**2), up=factor, down=1, pad=(pad0, pad1))
+
+
+def downsample_2d(x: jax.Array, kernel: jax.Array, factor: int = 2) -> jax.Array:
+    """StyleGAN2 Downsample module (stylegan2/model.py:52-71) on NHWC."""
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
+
+
+def blur(
+    x: jax.Array, kernel: jax.Array, pad: tuple[int, int], upsample_factor: int = 1
+) -> jax.Array:
+    """StyleGAN2 Blur module (stylegan2/model.py:74-91) on NHWC."""
+    k = kernel
+    if upsample_factor > 1:
+        k = k * (upsample_factor**2)
+    return upfirdn2d(x, k, up=1, down=1, pad=pad)

@@ -1,0 +1,61 @@
+"""Checkpoint save/restore via orbax.
+
+Upgrades the reference's per-epoch ``torch.save(state_dict())``
+(train_reference_fill.py:410-415, train_psp.py:388-391,
+train_mask_detector.py:178-181) to full-train-state checkpoints: params,
+optimizer state, auxiliary collections (spectral u/v, batch stats), PRNG key
+and step — so training actually resumes (the reference never restores
+optimizer/step state; see SURVEY.md §5).
+
+Layout on disk: <checkpoint_path>/<run_name>/<tag>_epoch<N>/ mirroring the
+reference's {G,D}_checkpoint_epoch{n}.pth naming.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_state", "restore_state", "latest_epoch", "checkpoint_dir"]
+
+
+def checkpoint_dir(checkpoint_path, run_name: str) -> Path:
+    d = Path(checkpoint_path) / run_name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def save_state(base_dir, tag: str, epoch: int, state: Any) -> Path:
+    """Save a pytree under <base_dir>/<tag>_checkpoint_epoch<epoch>."""
+    path = Path(base_dir) / f"{tag}_checkpoint_epoch{epoch}"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path.absolute(), state, force=True)
+    return path
+
+
+def restore_state(path, target: Optional[Any] = None) -> Any:
+    """Restore a pytree; with ``target`` the result matches its structure,
+    dtypes and shardings."""
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(Path(path).absolute(), target)
+        return ckptr.restore(Path(path).absolute())
+
+
+def latest_epoch(base_dir, tag: str) -> Optional[int]:
+    """Highest epoch number among <tag>_checkpoint_epoch* dirs, or None."""
+    base = Path(base_dir)
+    if not base.exists():
+        return None
+    best = None
+    pat = re.compile(rf"^{re.escape(tag)}_checkpoint_epoch(\d+)$")
+    for p in base.iterdir():
+        m = pat.match(p.name)
+        if m:
+            e = int(m.group(1))
+            best = e if best is None or e > best else best
+    return best

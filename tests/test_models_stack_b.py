@@ -1,0 +1,193 @@
+"""Stack B model tests: StyleGAN2 generator/discriminator, modulated conv
+equivalence, pSp encoders, composite PSP, and the pSp loss."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from face_mask_inpaint_tpu.losses.lpips import LPIPSNet
+from face_mask_inpaint_tpu.losses.psp_loss import PSPLossConfig, psp_loss
+from face_mask_inpaint_tpu.losses.vgg import VGG16Features
+from face_mask_inpaint_tpu.models.irse import (
+    Backbone,
+    BackboneEncoderUsingLastLayerIntoWPlus,
+    GradualStyleEncoder,
+    get_blocks,
+)
+from face_mask_inpaint_tpu.models.psp import PSP
+from face_mask_inpaint_tpu.models.stylegan2 import (
+    Discriminator,
+    EqualLinear,
+    Generator,
+    ModulatedConv2d,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_modulated_conv_matches_torch_grouped_form():
+    """Our scale-input/scale-output refactor must equal the reference's
+    per-sample grouped-weight convolution (stylegan2/model.py:241-279)."""
+    rng = np.random.RandomState(0)
+    n, cin, cout, k, hw = 3, 8, 12, 3, 7
+    x = rng.randn(n, hw, hw, cin).astype(np.float32)
+    style = rng.randn(n, 16).astype(np.float32)
+
+    mod = ModulatedConv2d(cout, k, demodulate=True)
+    vs = mod.init(KEY, jnp.asarray(x), jnp.asarray(style))
+    ours = mod.apply(vs, jnp.asarray(x), jnp.asarray(style))
+
+    # torch reference computation with the same weights
+    w_hwio = np.asarray(vs["params"]["weight"])  # [k,k,in,out]
+    w_t = torch.from_numpy(w_hwio.transpose(3, 2, 0, 1))[None]  # [1,out,in,k,k]
+    mw = np.asarray(vs["params"]["modulation"]["weight"])  # [16, cin]
+    mb = np.asarray(vs["params"]["modulation"]["bias"])
+    s_t = torch.from_numpy(style) @ torch.from_numpy(mw) * (1 / np.sqrt(16)) + torch.from_numpy(mb)
+    scale = 1 / np.sqrt(cin * k * k)
+    weight = scale * w_t * s_t.view(n, 1, cin, 1, 1)
+    demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+    weight = weight * demod.view(n, cout, 1, 1, 1)
+    weight = weight.reshape(n * cout, cin, k, k)
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2)).reshape(1, n * cin, hw, hw)
+    out_t = F.conv2d(x_t, weight, padding=k // 2, groups=n)
+    out_t = out_t.view(n, cout, hw, hw).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), out_t, rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("size", [64])
+def test_generator_shapes_and_determinism(size):
+    g = Generator(size=size, style_dim=64, n_mlp=2)
+    z = jax.random.normal(KEY, (2, 64))
+    vs = g.init({"params": KEY, "noise": KEY}, [z])
+    img, _ = g.apply(vs, [z], randomize_noise=False)
+    assert img.shape == (2, size, size, 3)
+    # fixed noise buffers -> deterministic
+    img2, _ = g.apply(vs, [z], randomize_noise=False)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2))
+    # randomize_noise draws fresh noise
+    img3, _ = g.apply(vs, [z], randomize_noise=True, rngs={"noise": jax.random.PRNGKey(7)})
+    assert np.abs(np.asarray(img3) - np.asarray(img)).max() > 0
+
+    # w-latent input path with [N, n_latent, D] codes (the pSp route)
+    codes = jnp.tile(g.apply(vs, z, method=Generator.map_style)[:, None, :], (1, g.n_latent, 1))
+    img4, latent = g.apply(vs, [codes], input_is_latent=True, return_latents=True,
+                           randomize_noise=False)
+    assert img4.shape == (2, size, size, 3)
+    assert latent.shape == (2, g.n_latent, 64)
+
+
+def test_generator_style_mixing_and_truncation():
+    g = Generator(size=32, style_dim=32, n_mlp=1)
+    z1 = jax.random.normal(KEY, (1, 32))
+    z2 = jax.random.normal(jax.random.PRNGKey(1), (1, 32))
+    vs = g.init({"params": KEY, "noise": KEY}, [z1])
+    mixed, latent = g.apply(vs, [z1, z2], inject_index=3, return_latents=True,
+                            randomize_noise=False)
+    assert latent.shape[1] == g.n_latent
+    # first 3 latents from z1, rest from z2
+    w1 = g.apply(vs, z1, method=Generator.map_style)
+    w2 = g.apply(vs, z2, method=Generator.map_style)
+    np.testing.assert_allclose(np.asarray(latent[:, 0]), np.asarray(w1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(latent[:, 3]), np.asarray(w2), rtol=1e-5)
+
+    trunc_target = g.apply(vs, KEY, 64, method=Generator.mean_latent)
+    _, lat_t = g.apply(vs, [z1], truncation=0.5, truncation_latent=trunc_target,
+                       return_latents=True, randomize_noise=False)
+    expected = trunc_target + 0.5 * (w1 - trunc_target)
+    np.testing.assert_allclose(np.asarray(lat_t[:, 0]), np.asarray(expected), rtol=1e-4)
+
+
+def test_discriminator_shapes():
+    d = Discriminator(size=64)
+    x = jax.random.normal(KEY, (4, 64, 64, 3))
+    vs = d.init(KEY, x)
+    y = d.apply(vs, x)
+    assert y.shape == (4, 1)
+
+
+def test_equal_linear_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 8).astype(np.float32)
+    layer = EqualLinear(16, lr_mul=0.01, activation="fused_lrelu")
+    vs = layer.init(KEY, jnp.asarray(x))
+    ours = layer.apply(vs, jnp.asarray(x))
+    w = np.asarray(vs["params"]["weight"])  # [in, out], stored /lr_mul
+    b = np.asarray(vs["params"]["bias"])
+    scale = (1 / np.sqrt(8)) * 0.01
+    lin = torch.from_numpy(x) @ torch.from_numpy(w * scale)
+    out_t = F.leaky_relu(lin + torch.from_numpy(b * 0.01), 0.2) * np.sqrt(2)
+    np.testing.assert_allclose(np.asarray(ours), out_t.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_irse_block_spec_counts():
+    blocks = get_blocks(50)
+    assert sum(len(b) for b in blocks) == 24  # body indices 0..23
+    # taps at 6/20/23 must land on channel 128/256/512 boundaries
+    flat = [s for b in blocks for s in b]
+    assert flat[6].depth == 128 and flat[20].depth == 256 and flat[23].depth == 512
+
+
+@pytest.mark.parametrize("use_ref,use_attention", [(False, False), (True, False), (True, True)])
+def test_gradual_style_encoder(use_ref, use_attention):
+    enc = GradualStyleEncoder(50, "ir_se", n_styles=10, use_attention=use_attention)
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    ref = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) if use_ref else None
+    mask = jnp.ones((1, 64, 64)) * 0.5 if use_ref else None
+    vs = enc.init(KEY, x, ref=ref, mask=mask, train=False)
+    out = enc.apply(vs, x, ref=ref, mask=mask, train=False)
+    assert out.shape == (1, 10, 512)
+    if use_attention:
+        assert "attention1" in vs["params"]
+
+
+def test_backbone_wplus_encoder_and_arcface():
+    enc = BackboneEncoderUsingLastLayerIntoWPlus(50, "ir_se", n_styles=8)
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    vs = enc.init(KEY, x, train=False)
+    out = enc.apply(vs, x, train=False)
+    assert out.shape == (1, 8, 512)
+
+    face = Backbone(input_size=112, num_layers=50, mode="ir_se")
+    xf = jax.random.normal(KEY, (2, 112, 112, 3))
+    vf = face.init(KEY, xf, train=False)
+    emb = face.apply(vf, xf, train=False)
+    assert emb.shape == (2, 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5)
+
+
+def test_psp_composite_and_loss():
+    model = PSP(output_size=64, start_from_latent_avg=True, use_attention=True)
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64)) > 0.5).astype(jnp.float32)
+    vs = model.init({"params": KEY, "noise": KEY}, x, ref=x, src_mask=mask, train=False)
+    assert "latent_avg" in vs and "noises" in vs
+    out, latent = model.apply(
+        vs, x, ref=x, src_mask=mask, return_latents=True, randomize_noise=False,
+        train=False,
+    )
+    assert out.shape == (1, 256, 256, 3)  # face_pool resizes to 256
+    assert latent.shape == (1, model.n_styles, 512)
+
+    # pSp loss with random sub-net weights (no pretrained downloads here)
+    lp = LPIPSNet("alex").init(KEY, out, out)["params"]
+    vgg = VGG16Features().init(KEY, out)["params"]
+    cfg = PSPLossConfig(id_lambda=0.0, lpips_lambda=0.8, l2_lambda=1.0,
+                        style_lambda=250.0, cx_lambda=1.0, l2_lambda_ref=0.5,
+                        w_norm_lambda=0.01, start_from_latent_avg=True)
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, 256, 256, 3))
+    mask256 = (jax.random.uniform(jax.random.PRNGKey(4), (1, 256, 256)) > 0.5).astype(jnp.float32)
+    loss, loss_dict, _ = psp_loss(
+        cfg, {"lpips": lp, "vgg": vgg},
+        x=y, y=y, y_hat=out, latent=latent,
+        latent_avg=vs["latent_avg"]["value"], ref=y, mask=mask256,
+    )
+    assert np.isfinite(float(loss))
+    # style/context computed but NOT included in the total
+    included = (loss_dict["loss_l2"] * 1.0 + loss_dict["loss_lpips"] * 0.8 +
+                loss_dict["loss_l2_ref"] * 0.5 + loss_dict["loss_w_norm"] * 0.01)
+    np.testing.assert_allclose(float(loss), float(included), rtol=1e-5)
+    assert "loss_style" in loss_dict and "loss_context" in loss_dict

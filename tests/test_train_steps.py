@@ -1,0 +1,161 @@
+"""End-to-end training-step tests on tiny shapes: the two-optimizer GAN step
+(Stack A) and the UNet mask-detector step, including under a data-parallel
+mesh on the 8-device virtual CPU backend."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from face_mask_inpaint_tpu.losses.vgg import VGG16Features
+from face_mask_inpaint_tpu.models.picnet import define_d
+from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
+from face_mask_inpaint_tpu.models.unet import MaskDetector
+from face_mask_inpaint_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from face_mask_inpaint_tpu.train.gan import make_gan_train_step
+from face_mask_inpaint_tpu.train.optim import adam, ranger
+from face_mask_inpaint_tpu.train.state import GANTrainState, ModuleState, TrainState
+from face_mask_inpaint_tpu.train.unet import make_unet_eval_step, make_unet_train_step
+
+KEY = jax.random.PRNGKey(0)
+
+ENC = dict(type="pluralistic", ngf=4, z_nc=8, img_f=16, L=1, layers=3,
+           norm="none", activation="LeakyReLU", init_type="normal")
+DEC = dict(ngf=8, z_nc=8, img_f=32, L=0, layers=3, norm="instance",
+           activation="LeakyReLU", init_type="normal")
+
+
+def _tiny_batch(n=2, hw=32):
+    rng = np.random.RandomState(0)
+    return {
+        "src_img": jnp.asarray(rng.rand(n, hw, hw, 3), jnp.float32),
+        "gt_img": jnp.asarray(rng.rand(n, hw, hw, 3), jnp.float32),
+        "ref_img": jnp.asarray(rng.rand(n, hw, hw, 3), jnp.float32),
+        "mask": jnp.asarray(rng.rand(n, hw, hw) > 0.5, jnp.float32),
+    }
+
+
+def _build_gan(out_hw=32):
+    generator = ReferenceFill(encoder_params=ENC, decoder_params=DEC,
+                              use_att=True, out_size=(out_hw, out_hw))
+    discriminator = define_d(ndf=4, img_f=16, layers=3, init_type="normal")
+    batch = _tiny_batch(hw=out_hw)
+    g_vars = generator.init(
+        {"params": KEY, "sample": KEY},
+        batch["src_img"], batch["ref_img"], batch["mask"],
+    )
+    d_vars = discriminator.init(KEY, batch["gt_img"])
+    vgg_params = VGG16Features().init(KEY, batch["gt_img"])["params"]
+    return generator, discriminator, g_vars, d_vars, vgg_params, batch
+
+
+def test_gan_train_step_updates_both_networks():
+    generator, discriminator, g_vars, d_vars, vgg_params, batch = _build_gan()
+    g_tx, d_tx = adam(1e-4), adam(1e-4)
+    g_state = ModuleState.from_variables(g_vars)
+    d_state = ModuleState.from_variables(d_vars)
+    state = GANTrainState(
+        step=jnp.zeros([], jnp.int32),
+        generator=g_state,
+        discriminator=d_state,
+        g_opt_state=g_tx.init(g_state.params),
+        d_opt_state=d_tx.init(d_state.params),
+        rng=KEY,
+    )
+    step = jax.jit(make_gan_train_step(
+        generator, discriminator, g_tx, d_tx, vgg_params))
+    new_state, metrics = step(state, batch)
+
+    for k in ("D_loss", "G_loss", "perc_loss", "style_loss", "cx_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # Both networks' params changed.
+    g_delta = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                           state.generator.params, new_state.generator.params)
+    assert max(jax.tree.leaves(g_delta)) > 0
+    d_delta = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                           state.discriminator.params, new_state.discriminator.params)
+    assert max(jax.tree.leaves(d_delta)) > 0
+    # Spectral power-iteration state advanced.
+    su = jax.tree.leaves(jax.tree.map(
+        lambda a, b: np.abs(np.asarray(a - b)).max(),
+        state.discriminator.spectral, new_state.discriminator.spectral))
+    assert max(su) > 0
+    assert int(new_state.step) == 1
+    # Second step runs from the new state (state pytree is stable).
+    state3, _ = step(new_state, batch)
+    assert int(state3.step) == 2
+
+
+def test_gan_train_step_data_parallel():
+    mesh = make_mesh()  # 8 virtual CPU devices
+    generator, discriminator, g_vars, d_vars, vgg_params, batch = _build_gan()
+    batch = {k: jnp.concatenate([v] * 4, 0) for k, v in batch.items()}  # N=8
+    g_tx, d_tx = adam(1e-4), adam(1e-4)
+    g_state = ModuleState.from_variables(g_vars)
+    d_state = ModuleState.from_variables(d_vars)
+    state = GANTrainState(
+        step=jnp.zeros([], jnp.int32),
+        generator=g_state,
+        discriminator=d_state,
+        g_opt_state=g_tx.init(g_state.params),
+        d_opt_state=d_tx.init(d_state.params),
+        rng=KEY,
+    )
+    state = replicate_tree(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    step = jax.jit(make_gan_train_step(
+        generator, discriminator, g_tx, d_tx, replicate_tree(vgg_params, mesh)))
+    new_state, metrics = step(state, sbatch)
+    assert np.isfinite(float(metrics["G_loss"]))
+    assert np.isfinite(float(metrics["D_loss"]))
+
+
+def test_unet_train_and_eval_step():
+    model = MaskDetector()
+    rngs = np.random.RandomState(1)
+    batch = {
+        "image": jnp.asarray(rngs.rand(2, 32, 32, 3), jnp.float32),
+        "mask": jnp.asarray(rngs.randint(0, 2, (2, 32, 32))),
+    }
+    variables = model.init(KEY, batch["image"])
+    tx = ranger(1e-3)
+    mstate = ModuleState.from_variables(variables)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32), model=mstate,
+        opt_state=tx.init(mstate.params), rng=KEY,
+    )
+    train_step = jax.jit(make_unet_train_step(model, tx))
+    eval_step = jax.jit(make_unet_eval_step(model))
+
+    losses = []
+    for _ in range(3):
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # tiny batch: should overfit immediately
+    out = eval_step(state, batch)
+    assert 0.0 <= float(out["dice"]) <= 1.0
+
+
+def test_ranger_matches_reference_torch_free_properties():
+    """Sanity: ranger reduces a quadratic and lookahead sync happens at k."""
+    tx = ranger(0.1, k=3)
+    # NB: random values, not constants — gradient centralization zeroes the
+    # mean of each row's gradient, so a constant tensor would never move.
+    params = {"w": jax.random.normal(KEY, (4, 4))}
+    opt_state = tx.init(params)
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2)
+
+    vals = [float(loss(params))]
+    for _ in range(60):
+        grads = jax.grad(loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        vals.append(float(loss(params)))
+    # GC preserves each row's mean, so the optimum is the row-mean matrix,
+    # not zero — just require substantial progress toward it.
+    assert vals[-1] < vals[0] * 0.5
