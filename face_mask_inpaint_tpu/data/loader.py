@@ -141,9 +141,12 @@ def get_reference_dataloader(
         device=device,
     )
     train_idx, val_idx = split_dataset(len(dataset), val_amount, seed)
+    # Under a sharded mesh every global batch must divide evenly across
+    # devices, so the trailing partial batch is dropped (the reference keeps
+    # it — single-GPU torch has no such constraint).
     train_loader = DataLoader(
         dataset, batch_size, train_idx, shuffle=True, num_workers=num_workers,
-        seed=seed, sharding=sharding,
+        seed=seed, sharding=sharding, drop_last=sharding is not None,
     )
     val_loader = DataLoader(
         dataset, batch_size, val_idx, shuffle=False, drop_last=True,

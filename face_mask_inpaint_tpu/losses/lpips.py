@@ -68,71 +68,77 @@ class _Fire(nn.Module):
         return jnp.concatenate([e1, e3], axis=-1)
 
 
+class _Trunk(nn.Module):
+    """Shared feature trunk; one instance is applied to both images so the
+    conv parameters are created once."""
+
+    net_type: str = "alex"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        taps = []
+        if self.net_type == "alex":
+            x = Conv2d(64, 11, stride=4, padding=2, dtype=self.dtype, name="conv1")(x)
+            x = jax.nn.relu(x); taps.append(x)
+            x = _max_pool3_2(x)
+            x = Conv2d(192, 5, padding=2, dtype=self.dtype, name="conv2")(x)
+            x = jax.nn.relu(x); taps.append(x)
+            x = _max_pool3_2(x)
+            x = Conv2d(384, 3, padding=1, dtype=self.dtype, name="conv3")(x)
+            x = jax.nn.relu(x); taps.append(x)
+            x = Conv2d(256, 3, padding=1, dtype=self.dtype, name="conv4")(x)
+            x = jax.nn.relu(x); taps.append(x)
+            x = Conv2d(256, 3, padding=1, dtype=self.dtype, name="conv5")(x)
+            x = jax.nn.relu(x); taps.append(x)
+        elif self.net_type == "vgg":
+            cfg = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+            for b, (n_convs, ch) in enumerate(cfg):
+                if b > 0:
+                    x = max_pool2d(x, 2)
+                for c in range(n_convs):
+                    x = Conv2d(ch, 3, padding=1, dtype=self.dtype,
+                               name=f"conv{b + 1}_{c + 1}")(x)
+                    x = jax.nn.relu(x)
+                taps.append(x)
+        elif self.net_type == "squeeze":
+            x = jax.nn.relu(Conv2d(64, 3, stride=2, dtype=self.dtype, name="conv1")(x))
+            taps.append(x)
+            x = _max_pool3_2(x)
+            x = _Fire(16, 64, dtype=self.dtype, name="fire3")(x)
+            x = _Fire(16, 64, dtype=self.dtype, name="fire4")(x)
+            taps.append(x)
+            x = _max_pool3_2(x)
+            x = _Fire(32, 128, dtype=self.dtype, name="fire6")(x)
+            x = _Fire(32, 128, dtype=self.dtype, name="fire7")(x)
+            taps.append(x)
+            x = _max_pool3_2(x)
+            x = _Fire(48, 192, dtype=self.dtype, name="fire9")(x)
+            taps.append(x)
+            x = _Fire(48, 192, dtype=self.dtype, name="fire10")(x)
+            taps.append(x)
+            x = _Fire(64, 256, dtype=self.dtype, name="fire11")(x)
+            taps.append(x)
+            x = _Fire(64, 256, dtype=self.dtype, name="fire12")(x)
+            taps.append(x)
+        else:
+            raise NotImplementedError("choose net_type from [alex, squeeze, vgg].")
+        return taps
+
+
 class LPIPSNet(nn.Module):
     """Feature trunk + frozen lin heads. Returns the scalar LPIPS distance."""
 
     net_type: str = "alex"
     dtype: Dtype = jnp.float32
 
-    def _alex_feats(self, x):
-        taps = []
-        x = Conv2d(64, 11, stride=4, padding=2, dtype=self.dtype, name="conv1")(x)
-        x = jax.nn.relu(x); taps.append(x)
-        x = _max_pool3_2(x)
-        x = Conv2d(192, 5, padding=2, dtype=self.dtype, name="conv2")(x)
-        x = jax.nn.relu(x); taps.append(x)
-        x = _max_pool3_2(x)
-        x = Conv2d(384, 3, padding=1, dtype=self.dtype, name="conv3")(x)
-        x = jax.nn.relu(x); taps.append(x)
-        x = Conv2d(256, 3, padding=1, dtype=self.dtype, name="conv4")(x)
-        x = jax.nn.relu(x); taps.append(x)
-        x = Conv2d(256, 3, padding=1, dtype=self.dtype, name="conv5")(x)
-        x = jax.nn.relu(x); taps.append(x)
-        return taps
-
-    def _vgg_feats(self, x):
-        taps = []
-        cfg = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
-        for b, (n_convs, ch) in enumerate(cfg):
-            if b > 0:
-                x = max_pool2d(x, 2)
-            for c in range(n_convs):
-                x = Conv2d(ch, 3, padding=1, dtype=self.dtype, name=f"conv{b + 1}_{c + 1}")(x)
-                x = jax.nn.relu(x)
-            taps.append(x)
-        return taps
-
-    def _squeeze_feats(self, x):
-        taps = []
-        x = jax.nn.relu(Conv2d(64, 3, stride=2, dtype=self.dtype, name="conv1")(x))
-        taps.append(x)
-        x = _max_pool3_2(x)
-        x = _Fire(16, 64, dtype=self.dtype, name="fire3")(x)
-        x = _Fire(16, 64, dtype=self.dtype, name="fire4")(x)
-        taps.append(x)
-        x = _max_pool3_2(x)
-        x = _Fire(32, 128, dtype=self.dtype, name="fire6")(x)
-        x = _Fire(32, 128, dtype=self.dtype, name="fire7")(x)
-        taps.append(x)
-        x = _max_pool3_2(x)
-        x = _Fire(48, 192, dtype=self.dtype, name="fire9")(x)
-        taps.append(x)
-        x = _Fire(48, 192, dtype=self.dtype, name="fire10")(x)
-        taps.append(x)
-        x = _Fire(64, 256, dtype=self.dtype, name="fire11")(x)
-        taps.append(x)
-        x = _Fire(64, 256, dtype=self.dtype, name="fire12")(x)
-        taps.append(x)
-        return taps
-
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
         shift = jnp.asarray(_SHIFT, x.dtype)
         scale = jnp.asarray(_SCALE, x.dtype)
-        feats = {"alex": self._alex_feats, "vgg": self._vgg_feats,
-                 "squeeze": self._squeeze_feats}[self.net_type]
-        fx = feats((x - shift) / scale)
-        fy = feats((y - shift) / scale)
+        trunk = _Trunk(self.net_type, dtype=self.dtype, name="trunk")
+        fx = trunk((x - shift) / scale)
+        fy = trunk((y - shift) / scale)
         total = jnp.float32(0.0)
         n = x.shape[0]
         for i, (a, b) in enumerate(zip(fx, fy)):

@@ -121,3 +121,8 @@ def vgg_loss(
         elif loss_type == "contextual" and i == 3:
             loss = loss + contextual_loss(x, y) / dim
     return loss
+
+
+def content_loss(inp: jax.Array, target: jax.Array) -> jax.Array:
+    """ContentLoss (external_function.py:174-177): L1 to a detached target."""
+    return jnp.mean(jnp.abs(inp - jax.lax.stop_gradient(target)))

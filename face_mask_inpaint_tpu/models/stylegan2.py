@@ -303,18 +303,19 @@ class Generator(nn.Module):
         self.convs = convs
         self.to_rgbs = to_rgbs
 
-    def _noise_buffers(self):
-        """Fixed per-layer noise buffers (model.py:428-431), collection 'noises'."""
-        bufs = []
+        # Fixed per-layer noise buffers (model.py:428-431), collection 'noises'.
+        noise_vars = []
         for layer_idx in range(self.num_layers):
             res = (layer_idx + 5) // 2
             shape = (1, 2**res, 2**res, 1)
-            var = self.variable(
+            noise_vars.append(self.variable(
                 "noises", f"noise_{layer_idx}",
                 lambda s=shape: jax.random.normal(self.make_rng("params"), s),
-            )
-            bufs.append(var.value)
-        return bufs
+            ))
+        self._noise_vars = noise_vars
+
+    def _noise_buffers(self):
+        return [v.value for v in self._noise_vars]
 
     def map_style(self, z: jax.Array) -> jax.Array:
         """The 8-layer style MLP (PixelNorm + EqualLinear stack)."""
@@ -476,13 +477,15 @@ class Discriminator(nn.Module):
             out = DResBlock(in_ch, out_ch, dtype=self.dtype, name=f"res_{i}")(out)
             in_ch = out_ch
 
+        # minibatch stddev (model.py:671-678) on NHWC: split the batch into
+        # `group`-sized chunks, per-chunk feature stddev appended as a channel.
         n, h, w, c = out.shape
         group = min(n, self.stddev_group)
-        stddev = out.reshape(group, -1, h, w, self.stddev_feat, c // self.stddev_feat)
-        stddev = jnp.sqrt(jnp.var(stddev, axis=0) + 1e-8)
-        stddev = jnp.mean(stddev, axis=(1, 3, 4), keepdims=True)  # over HW and feat
-        stddev = jnp.mean(stddev, axis=4)
-        stddev = jnp.tile(stddev.reshape(1, 1, 1, 1), (n, h, w, 1))
+        feat = self.stddev_feat
+        stddev = out.reshape(group, n // group, h, w, feat, c // feat)
+        stddev = jnp.sqrt(jnp.var(stddev, axis=0) + 1e-8)  # [n/g, h, w, feat, c/f]
+        stddev = jnp.mean(stddev, axis=(1, 2, 4))  # -> [n/g, feat]
+        stddev = jnp.tile(stddev[:, None, None, :], (group, h, w, 1))  # [n, h, w, feat]
         out = jnp.concatenate([out, stddev], axis=-1)
 
         out = ConvLayer(channels[4], 3, dtype=self.dtype, name="final_conv")(out)

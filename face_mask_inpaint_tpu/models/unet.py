@@ -68,7 +68,9 @@ class Up(nn.Module):
         in_ch = x1.shape[-1]
         if self.bilinear:
             x1 = bilinear_resize(x1, (2 * x1.shape[1], 2 * x1.shape[2]), align_corners=True)
-            mid = in_ch // 2
+            # torch: DoubleConv(in_channels, out, in_channels // 2) where
+            # in_channels is the POST-concat width == 2 * x1 channels here.
+            mid = in_ch
         else:
             x1 = ConvTranspose2d(
                 in_ch // 2, kernel_size=2, stride=2, padding=0, output_padding=0,

@@ -275,25 +275,23 @@ class Output(nn.Module):
         return jnp.tanh(h)
 
 
-def _attend(att: jax.Array, feats: jax.Array) -> jax.Array:
-    """out[n,i,c] = sum_j att[n,i,j] * feats[n,j,c] on flattened NHWC feats."""
-    n, h, w, c = feats.shape
-    out = jnp.einsum(
-        "nij,njc->nic", att, feats.reshape(n, h * w, c),
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(n, h, w, c).astype(feats.dtype)
-
-
 class AutoAttention(nn.Module):
     """Short+long-term self-attention (Auto_Attn, base_function.py:401-448).
 
-    Query and key share the same 1x1 projection; attention is a plain
-    [N, HW, HW] softmax matmul (HW <= 4096 here — MXU-friendly, fully
-    materialized).
+    Query and key share the same 1x1 projection. The [N, HW, HW] map is
+    materialized as one MXU matmul for small feature maps and computed with
+    the streaming-softmax formulation above ``block_threshold`` tokens
+    (ops/attention.py) — numerically identical, O(HW * block) memory.
+
+    Torch note: the code right-multiplies by attention^T for both the short
+    branch (:436) and the long branch (:443) — with query == key the map is
+    symmetric in construction only pre-softmax, so we reproduce the exact
+    semantics out[i] = sum_j softmax_j(q_i . q_j) v[j], which is what
+    bmm(value, att^T) computes.
     """
 
     norm: str = "none"
+    block_threshold: int = 4096
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
@@ -305,23 +303,27 @@ class AutoAttention(nn.Module):
         mask: Optional[jax.Array] = None,
         train: bool = True,
     ):
+        from face_mask_inpaint_tpu.ops.attention import attention_apply
+
         n, h, w, c = x.shape
         q = Conv2d(
             c // 4, 1, kernel_init=self.kernel_init, dtype=self.dtype,
             name="query_conv",
         )(x)
         q = q.reshape(n, h * w, c // 4)
-        energy = jnp.einsum(
-            "nic,njc->nij", q, q, preferred_element_type=jnp.float32
-        )
-        att = jax.nn.softmax(energy, axis=-1).astype(x.dtype)
+
+        vals = [x.reshape(n, h * w, c)]
+        if pre is not None:
+            vals.append(pre.reshape(n, h * w, -1))
+        outs = attention_apply(q, vals, block_threshold=self.block_threshold)
+        att_x = outs[0].reshape(n, h, w, c)
 
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
-        out = gamma.astype(x.dtype) * _attend(att, x) + x
+        out = gamma.astype(x.dtype) * att_x + x
 
         if pre is not None:
             alpha = self.param("alpha", nn.initializers.zeros, (1,))
-            context_flow = _attend(att, pre)
+            context_flow = outs[1].reshape(n, h, w, -1)
             context_flow = (
                 alpha.astype(x.dtype) * (1.0 - mask) * context_flow + mask * pre
             )
@@ -335,7 +337,7 @@ class AutoAttention(nn.Module):
                 name="model",
             )(jnp.concatenate([out, context_flow], axis=-1), train=train)
 
-        return out, att
+        return out, None
 
 
 class ExampleGuidedAttention(nn.Module):
@@ -349,6 +351,7 @@ class ExampleGuidedAttention(nn.Module):
     """
 
     out_channels: Optional[int] = None
+    block_threshold: int = 4096
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
@@ -357,20 +360,22 @@ class ExampleGuidedAttention(nn.Module):
         self, src_mask: jax.Array, src_feature: jax.Array, ref_feature: jax.Array
     ) -> jax.Array:
         """src_mask: [N, H, W, 1]; src/ref_feature: [N, H, W, C]."""
+        from face_mask_inpaint_tpu.ops.attention import attention_apply
+
         n, h, w, c = src_feature.shape
         q = Conv2d(
             c // 4, 1, use_bias=False, kernel_init=self.kernel_init,
             dtype=self.dtype, name="conv",
         )(src_feature)
         q = q.reshape(n, h * w, c // 4)
-        # att_map[n, i, j] = softmax_j(q_i . q_j)
-        energy = jnp.einsum(
-            "nic,njc->nij", q, q, preferred_element_type=jnp.float32
+        # one shared map, two value streams (src + ref) in a single pass
+        src_att, ref_att = attention_apply(
+            q,
+            [src_feature.reshape(n, h * w, c), ref_feature.reshape(n, h * w, c)],
+            block_threshold=self.block_threshold,
         )
-        att = jax.nn.softmax(energy, axis=-1).astype(src_feature.dtype)
-
-        src_att = _attend(att, src_feature)
-        ref_att = _attend(att, ref_feature)
+        src_att = src_att.reshape(n, h, w, c)
+        ref_att = ref_att.reshape(n, h, w, c)
 
         ex_guide_flow = (1.0 - src_mask) * ref_att + src_mask * ref_feature
         out = jnp.concatenate([ex_guide_flow, src_att], axis=-1)

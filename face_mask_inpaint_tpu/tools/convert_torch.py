@@ -213,9 +213,9 @@ def convert_lpips_alex(alexnet_sd: dict, lin_sd: dict) -> dict:
 
     lin_sd uses the renamed keys of lpips/utils.py:22-30 ('0.1.weight', ...).
     """
-    params = {}
+    params = {"trunk": {}}
     for name, idx in _ALEX_IDX.items():
-        params[name] = {
+        params["trunk"][name] = {
             "kernel": conv_w(alexnet_sd[f"features.{idx}.weight"]),
             "bias": alexnet_sd[f"features.{idx}.bias"],
         }
@@ -473,6 +473,45 @@ def _is_wrapped(path: list[str]) -> bool:
     return path[-1] in ("conv1", "conv2", "bypass") and not (
         len(path) > 1 and path[-2].startswith("decoder")
     )
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 (FID)
+# ---------------------------------------------------------------------------
+
+def convert_inception_v3(sd: dict) -> dict:
+    """torchvision inception_v3 state dict -> InceptionV3Features variables.
+
+    Branch/block names match the torch attribute names exactly, so the
+    conversion is mechanical: every '<path>.conv.weight' becomes a kernel and
+    '<path>.bn.*' splits into params (scale/bias) + batch_stats (mean/var).
+    AuxLogits / fc are dropped (the FID trunk stops at Mixed_7c).
+    """
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    def assign(tree, path, leaf):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    for k, v in sd.items():
+        if k.startswith(("AuxLogits", "fc")):
+            continue
+        path = k.split(".")
+        if path[-2] == "conv" and path[-1] == "weight":
+            assign(params, path[:-1] + ["kernel"], conv_w(v))
+        elif path[-2] == "bn":
+            if path[-1] == "weight":
+                assign(params, path[:-1] + ["scale"], v)
+            elif path[-1] == "bias":
+                assign(params, path, v)
+            elif path[-1] == "running_mean":
+                assign(stats, path[:-1] + ["mean"], v)
+            elif path[-1] == "running_var":
+                assign(stats, path[:-1] + ["var"], v)
+    return {"params": params, "batch_stats": stats}
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,35 @@ def ranger(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def get_scheduler(
+    lr_policy: str,
+    base_lr: float,
+    niter: int = 100,
+    niter_decay: int = 100,
+    iter_count: int = 0,
+    lr_decay_iters: int = 50,
+):
+    """LR schedule registry matching get_scheduler (base_function.py:69-88).
+
+    'lambda': linear decay  1 - max(0, epoch+2+iter_count-niter)/(niter_decay+1)
+    'step':   x0.1 every lr_decay_iters epochs
+    'exponent': x0.95 per epoch
+    Returns an optax schedule mapping epoch -> lr.
+    """
+    if lr_policy == "lambda":
+        def sched(epoch):
+            factor = 1.0 - jnp.maximum(
+                0.0, epoch + 2.0 + iter_count - niter) / float(niter_decay + 1)
+            return base_lr * factor
+        return sched
+    if lr_policy == "step":
+        return optax.exponential_decay(
+            base_lr, transition_steps=lr_decay_iters, decay_rate=0.1, staircase=True)
+    if lr_policy == "exponent":
+        return optax.exponential_decay(base_lr, transition_steps=1, decay_rate=0.95)
+    raise NotImplementedError(f"learning rate policy [{lr_policy}] is not implemented")
+
+
 def plateau_scheduler(
     factor: float = 0.1,
     patience: int = 10,

@@ -1,0 +1,52 @@
+"""Blockwise attention must match the materialized map exactly."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from face_mask_inpaint_tpu.ops.attention import attention_apply, blockwise_attention
+
+
+def _materialized(q, values):
+    energy = jnp.einsum("nic,njc->nij", q, q)
+    att = jax.nn.softmax(energy, axis=-1)
+    return [jnp.einsum("nij,njc->nic", att, v) for v in values]
+
+
+def test_blockwise_matches_materialized():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 100, 8).astype(np.float32)) * 3.0
+    v1 = jnp.asarray(rng.randn(2, 100, 16).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(2, 100, 16).astype(np.float32))
+    ref = _materialized(q, [v1, v2])
+    # block size that doesn't divide L exercises padding/masking
+    out = blockwise_attention(q, q, [v1, v2], block_size=33)
+    for a, b in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_attention_apply_thresholds_agree():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 64, 4).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 64, 8).astype(np.float32))
+    small = attention_apply(q, [v], block_threshold=4096)[0]
+    big = attention_apply(q, [v], block_threshold=1, block_size=16)[0]
+    np.testing.assert_allclose(np.asarray(small), np.asarray(big), rtol=1e-5, atol=1e-5)
+
+
+def test_blockwise_grad_matches():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 50, 4).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 50, 6).astype(np.float32))
+
+    def f_block(q, v):
+        return jnp.sum(blockwise_attention(q, q, [v], block_size=16)[0] ** 2)
+
+    def f_mat(q, v):
+        return jnp.sum(_materialized(q, [v])[0] ** 2)
+
+    g1 = jax.grad(f_block, argnums=(0, 1))(q, v)
+    g2 = jax.grad(f_mat, argnums=(0, 1))(q, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

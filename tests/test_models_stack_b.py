@@ -68,9 +68,17 @@ def test_generator_shapes_and_determinism(size):
     # fixed noise buffers -> deterministic
     img2, _ = g.apply(vs, [z], randomize_noise=False)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2))
-    # randomize_noise draws fresh noise
-    img3, _ = g.apply(vs, [z], randomize_noise=True, rngs={"noise": jax.random.PRNGKey(7)})
-    assert np.abs(np.asarray(img3) - np.asarray(img)).max() > 0
+    # randomize_noise draws fresh noise. NoiseInjection weights start at 0
+    # (model.py:287) so noise is inert at init — set them to 1 first.
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(vs["params"])
+    flat = {k: (jnp.ones_like(v) if "noise" in k and k[-1] == "weight" else v)
+            for k, v in flat.items()}
+    vs_noisy = {**vs, "params": tu.unflatten_dict(flat)}
+    base, _ = g.apply(vs_noisy, [z], randomize_noise=False)
+    img3, _ = g.apply(vs_noisy, [z], randomize_noise=True,
+                      rngs={"noise": jax.random.PRNGKey(7)})
+    assert np.abs(np.asarray(img3) - np.asarray(base)).max() > 0
 
     # w-latent input path with [N, n_latent, D] codes (the pSp route)
     codes = jnp.tile(g.apply(vs, z, method=Generator.map_style)[:, None, :], (1, g.n_latent, 1))
@@ -118,8 +126,8 @@ def test_equal_linear_matches_torch():
     w = np.asarray(vs["params"]["weight"])  # [in, out], stored /lr_mul
     b = np.asarray(vs["params"]["bias"])
     scale = (1 / np.sqrt(8)) * 0.01
-    lin = torch.from_numpy(x) @ torch.from_numpy(w * scale)
-    out_t = F.leaky_relu(lin + torch.from_numpy(b * 0.01), 0.2) * np.sqrt(2)
+    lin = torch.from_numpy(x) @ torch.from_numpy((w * scale).astype(np.float32))
+    out_t = F.leaky_relu(lin + torch.from_numpy((b * 0.01).astype(np.float32)), 0.2) * np.float32(np.sqrt(2))
     np.testing.assert_allclose(np.asarray(ours), out_t.numpy(), rtol=1e-4, atol=1e-6)
 
 

