@@ -30,7 +30,7 @@ def blockwise_attention(
     q: jax.Array,
     k: jax.Array,
     values: Sequence[jax.Array],
-    block_size: int = 2048,
+    block_size: int = 4096,
     transpose_map: bool = False,
 ) -> list[jax.Array]:
     """softmax over the last axis of (Q K^T), applied to each V.
@@ -53,9 +53,11 @@ def blockwise_attention(
     nb = -(-lk // bs)
     pad = nb * bs - lk
 
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vfs = [v.astype(jnp.float32) for v in values]
+    # Matmuls run in the input dtype (bf16 on the MXU) with f32 accumulation
+    # via preferred_element_type; the softmax recurrence stays in f32.
+    qf = q
+    kf = k
+    vfs = list(values)
     if pad:
         kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
         vfs = [jnp.pad(v, ((0, 0), (0, pad), (0, 0))) for v in vfs]
@@ -71,14 +73,19 @@ def blockwise_attention(
     def body(carry, blk):
         m, l, accs = carry
         k_b, v_bs, mask = blk
-        s = jnp.einsum("nqd,nbd->nqb", qf, k_b)  # [N, Lq, bs]
+        s = jnp.einsum(
+            "nqd,nbd->nqb", qf, k_b, preferred_element_type=jnp.float32
+        )  # [N, Lq, bs] f32
         s = jnp.where(mask, s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p_mm = p.astype(q.dtype)
         accs = tuple(
-            acc * alpha + jnp.einsum("nqb,nbc->nqc", p, v_b)
+            acc * alpha + jnp.einsum(
+                "nqb,nbc->nqc", p_mm, v_b, preferred_element_type=jnp.float32
+            )
             for acc, v_b in zip(accs, v_bs)
         )
         return (m_new, l, accs), None
@@ -91,7 +98,7 @@ def attention_apply(
     query: jax.Array,
     values: Sequence[jax.Array],
     block_threshold: int = 4096,
-    block_size: int = 2048,
+    block_size: int = 4096,
 ) -> list[jax.Array]:
     """out_j[n, i, c] = sum_k softmax_k(q_i . q_k) v_j[n, k, c].
 
@@ -102,11 +109,14 @@ def attention_apply(
     """
     n, l, d = query.shape
     if l <= block_threshold:
-        qf = query.astype(jnp.float32)
-        energy = jnp.einsum("nic,njc->nij", qf, qf)
-        att = jax.nn.softmax(energy, axis=-1)
+        energy = jnp.einsum(
+            "nic,njc->nij", query, query, preferred_element_type=jnp.float32
+        )
+        att = jax.nn.softmax(energy, axis=-1).astype(query.dtype)
         return [
-            jnp.einsum("nij,njc->nic", att, v.astype(jnp.float32)).astype(v.dtype)
+            jnp.einsum(
+                "nij,njc->nic", att, v, preferred_element_type=jnp.float32
+            ).astype(v.dtype)
             for v in values
         ]
     return blockwise_attention(query, query, values, block_size=block_size)

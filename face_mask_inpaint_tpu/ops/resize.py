@@ -100,7 +100,18 @@ def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
 def _apply_spatial_matrices(x: jax.Array, mat_h: np.ndarray, mat_w: np.ndarray) -> jax.Array:
     """out[n,i,j,c] = sum_{h,w} mat_h[i,h] x[n,h,w,c] mat_w[j,w]."""
     dtype = x.dtype
-    # Compute the contraction in f32 for accuracy, cast back at the end.
+    if dtype == jnp.bfloat16:
+        # bf16 MXU matmuls with f32 accumulation — 6x cheaper than f32
+        # HIGHEST and well within interpolation tolerance.
+        ah = jnp.asarray(mat_h, dtype=jnp.bfloat16)
+        aw = jnp.asarray(mat_w, dtype=jnp.bfloat16)
+        y = jnp.einsum("ih,nhwc->niwc", ah, x, preferred_element_type=jnp.float32)
+        y = jnp.einsum(
+            "jw,niwc->nijc", aw, y.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(dtype)
+    # f32 path: exact-as-possible contraction for parity with torch.
     cdtype = jnp.promote_types(dtype, jnp.float32)
     ah = jnp.asarray(mat_h, dtype=cdtype)
     aw = jnp.asarray(mat_w, dtype=cdtype)

@@ -49,6 +49,24 @@ def make_kernel(k) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
+_IMPL = "auto"  # 'auto' (pallas on TPU, lax elsewhere) | 'lax' | 'pallas'
+
+
+def set_impl(name: str) -> None:
+    """Select the upfirdn2d backend: 'auto', 'lax', or 'pallas'."""
+    global _IMPL
+    assert name in ("auto", "lax", "pallas")
+    _IMPL = name
+
+
+def _use_pallas() -> bool:
+    if _IMPL == "lax":
+        return False
+    if _IMPL == "pallas":
+        return True
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def upfirdn2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -61,7 +79,28 @@ def upfirdn2d(
     kernel: [kh, kw] float filter, applied as a true convolution.
     pad: (pad0, pad1) applied to both spatial dims (before filtering,
     after upsampling), negative values crop.
+
+    Dispatches to the Pallas TPU kernel (ops/pallas/upfirdn2d_pallas.py) for
+    the supported separable modes; the lax fused-conv formulation is the
+    fallback and autodiff reference.
     """
+    if _use_pallas() and not isinstance(kernel, jax.core.Tracer):
+        from face_mask_inpaint_tpu.ops.pallas.upfirdn2d_pallas import (
+            upfirdn2d_pallas,
+        )
+
+        return upfirdn2d_pallas(x, kernel, up, down, (int(pad[0]), int(pad[1])))
+    return upfirdn2d_lax(x, kernel, up=up, down=down, pad=pad)
+
+
+def upfirdn2d_lax(
+    x: jax.Array,
+    kernel: jax.Array,
+    up: int = 1,
+    down: int = 1,
+    pad: tuple[int, int] = (0, 0),
+) -> jax.Array:
+    """The single-fused-conv formulation (also the autodiff reference)."""
     pad0, pad1 = int(pad[0]), int(pad[1])
     # Flip the FIR kernel: conv_general_dilated is cross-correlation, the
     # reference CUDA kernel computes true convolution.
