@@ -61,7 +61,14 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
     def _collate(self, items: list[dict]) -> dict:
-        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        from face_mask_inpaint_tpu.data import _native
+
+        def stack(vals):
+            if vals[0].dtype == np.float32 and _native.available():
+                return _native.collate_f32(list(vals))
+            return np.stack(vals)
+
+        batch = {k: stack([it[k] for it in items]) for k in items[0]}
         if self.pad_last and len(items) < self.batch_size:
             pad = self.batch_size - len(items)
             batch = {

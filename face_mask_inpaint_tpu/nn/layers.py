@@ -344,3 +344,7 @@ def make_norm(norm_type: str, name: str, train: bool = True) -> Optional[Callabl
     if norm_type == "none":
         return None
     raise NotImplementedError(f"normalization layer [{norm_type}] is not found")
+
+# Known divergence: flax BatchNorm accumulates the *biased* batch variance
+# into running stats, torch the unbiased (n/(n-1)) one — sub-0.1% difference
+# at trainer batch sizes, covered by test tolerances (tests/test_nn_layers.py).
