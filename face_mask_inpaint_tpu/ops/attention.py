@@ -119,4 +119,8 @@ def attention_apply(
             ).astype(v.dtype)
             for v in values
         ]
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        from face_mask_inpaint_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(query, values)
     return blockwise_attention(query, query, values, block_size=block_size)

@@ -50,3 +50,27 @@ def test_blockwise_grad_matches():
     g2 = jax.grad(f_mat, argnums=(0, 1))(q, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_blockwise():
+    from face_mask_inpaint_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 300, 16).astype(np.float32)) * 2
+    v1 = jnp.asarray(rng.randn(2, 300, 24).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(2, 300, 8).astype(np.float32))
+    ref = blockwise_attention(q, q, [v1, v2], block_size=64)
+    got = flash_attention(q, [v1, v2], tq=128, tk=128)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-5)
+
+    def loss_f(q, v):
+        return jnp.sum(flash_attention(q, [v], tq=128, tk=128)[0] ** 2)
+
+    def loss_r(q, v):
+        return jnp.sum(blockwise_attention(q, q, [v], block_size=64)[0] ** 2)
+
+    g1 = jax.grad(loss_f, argnums=(0, 1))(q, v1)
+    g2 = jax.grad(loss_r, argnums=(0, 1))(q, v1)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
