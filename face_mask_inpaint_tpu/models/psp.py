@@ -84,6 +84,12 @@ class PSP(nn.Module):
         alpha: Optional[float] = None,
         train: bool = True,
     ):
+        if self.is_initializing():
+            # pSp always feeds w-latents (input_is_latent=True), so the
+            # decoder's style MLP would never materialize its params during
+            # init — but mean_latent / non-latent inputs need it. Touch it.
+            self.decoder.map_style(jnp.zeros((1, 512), self.dtype))
+
         if input_code:
             codes = x
         else:

@@ -324,6 +324,17 @@ class Generator(nn.Module):
             h = layer(h)
         return h
 
+    def make_noise(self, rng: jax.Array) -> list[jax.Array]:
+        """Fresh per-layer noise list (model.py:459-468), NHWC [1, H, W, 1]."""
+        keys = jax.random.split(rng, self.num_layers)
+        noises = [jax.random.normal(keys[0], (1, 4, 4, 1))]
+        idx = 1
+        for i in range(3, self.log_size + 1):
+            for _ in range(2):
+                noises.append(jax.random.normal(keys[idx], (1, 2**i, 2**i, 1)))
+                idx += 1
+        return noises
+
     def mean_latent(self, rng: jax.Array, n_latent: int) -> jax.Array:
         latent_in = jax.random.normal(rng, (n_latent, self.style_dim), jnp.float32)
         return jnp.mean(self.map_style(latent_in), axis=0, keepdims=True)

@@ -98,6 +98,30 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_image(self, name: str, image, step: Optional[int] = None):
+        """Save an image sample under <run_dir>/images/ (the JSONL analogue of
+        the reference's wandb.Image logging, train_reference_fill.py:372-398).
+
+        image: [H, W, C] float in [0, 1] or [H, W] mask.
+        """
+        from PIL import Image
+
+        img_dir = self.run_dir / "images"
+        img_dir.mkdir(exist_ok=True)
+        arr = np.asarray(image, np.float32)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        arr = np.clip(arr, 0.0, 1.0)
+        fname = f"{name}_{step if step is not None else 0}.png"
+        Image.fromarray((arr * 255).astype("uint8")).save(img_dir / fname)
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log({name: wandb.Image(arr)}, step=step)
+            except Exception:
+                pass
+
     def close(self):
         self._fh.close()
         if self._wandb is not None:

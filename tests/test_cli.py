@@ -161,3 +161,31 @@ def test_gradio_serve_selftest(tmp_path):
     ], cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "selftest ok" in r.stdout
+
+
+def test_train_psp_cli(tmp_path):
+    # 256² data with img_scale 1: encoder inputs and face-pooled outputs are
+    # both 256², matching the loss shapes (as CelebA-HQ @ 0.25 does)
+    data = make_synthetic_celeba(tmp_path / "data", n_identities=4,
+                                 images_per_identity=3, size=(256, 256))
+    r = run_cli([
+        str(REPO / "train_psp.py"),
+        "--epochs", "1", "--batch_size", "8", "--img_scale", "1",
+        "--data_root", str(data["root"]),
+        "--src_img_path", "img_align_celeba_masked1",
+        "--ref_img_path", "img_align_celeba",
+        "--mask_path", "binary_map",
+        "--identity_file_path", "identity_CelebA.txt",
+        "--run_name", "psp_smoke",
+        "--checkpoint_path", str(tmp_path / "saved_model"),
+        "--output_size", "64", "--use_ref", "--start_from_latent_avg",
+        "--lpips_lambda", "0", "--l2_lambda", "1", "--style_lambda", "0",
+        "--cx_lambda", "0", "--id_lambda", "0",
+    ], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-3000:]
+    run_dir = tmp_path / "saved_model" / "psp_smoke"
+    assert any(p.name.startswith("G_checkpoint_epoch") for p in run_dir.iterdir())
+    recs = [json.loads(l) for l in
+            (run_dir / "metrics.jsonl").read_text().strip().splitlines()]
+    losses = [rec["loss"] for rec in recs if "loss" in rec]
+    assert losses and all(np.isfinite(l) for l in losses)

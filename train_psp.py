@@ -178,6 +178,10 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
                            use_wandb=bool(args.use_wandb))
     n_train = len(train_loader) * batch_size
 
+    if len(train_loader) == 0:
+        raise SystemExit(
+            'train loader is empty: need at least one full (device-divisible) '
+            f'batch of {batch_size}; got {len(train_loader)} batches')
     sample = next(iter(train_loader))
     sample = {k: jnp.asarray(v) for k, v in sample.items()}
     key = jax.random.PRNGKey(0)

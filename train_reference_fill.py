@@ -199,6 +199,10 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
     logging.info('Starting training: epochs=%d batch=%d lr=%g train~%d',
                  args.epochs, batch_size, args.learning_rate, n_train)
 
+    if len(train_loader) == 0:
+        raise SystemExit(
+            'train loader is empty: need at least one full (device-divisible) '
+            f'batch of {batch_size}')
     sample = next(iter(train_loader))
     sample = {k: jnp.asarray(v) for k, v in sample.items()}
     mask0 = (sample['mask'] > 0).astype(jnp.float32)
@@ -229,6 +233,7 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
     def evaluate(st, step_key):
         metrics = {'D validation loss': 0.0, 'G validation loss': 0.0}
         n = 0
+        sample_imgs = None
         for batch in val_loader:
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
@@ -237,6 +242,8 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
             metrics['G validation loss'] += float(out['G_loss'])
             gen = out['gen']
             gt = jnp.asarray(b['gt_img'])
+            if sample_imgs is None:
+                sample_imgs = (np.asarray(gen[0]), np.asarray(gt[0]))
             if 'ssim' in eval_options:
                 metrics['ssim'] = metrics.get('ssim', 0.0) + float(ssim_fn(gt, gen))
             if 'ms_ssim' in eval_options and gen.shape[1] > 160:
@@ -248,7 +255,7 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
                 # FID lives in test_evaluate.py / evaluations/fid.py.
                 pass
             n += 1
-        return {k: v / max(n, 1) for k, v in metrics.items()}
+        return {k: v / max(n, 1) for k, v in metrics.items()}, sample_imgs
 
     global_step = 0
     division_step = max(n_train // (10 * batch_size), 1)
@@ -272,9 +279,13 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
                 hists = histogram_summary(host_state.generator.params, 'Weights/G')
                 hists.update(histogram_summary(
                     host_state.discriminator.params, 'Weights/D'))
-                val_metrics = evaluate(state, jax.random.PRNGKey(global_step))
+                val_metrics, sample_imgs = evaluate(
+                    state, jax.random.PRNGKey(global_step))
                 logging.info('Validation: %s', val_metrics)
                 logger.log({**val_metrics, **hists}, step=global_step)
+                if sample_imgs is not None:
+                    logger.log_image('gen', sample_imgs[0], step=global_step)
+                    logger.log_image('gt', sample_imgs[1], step=global_step)
 
         ckpt.save_state(run_dir, 'G', epoch + 1, jax.device_get(
             (state.generator, state.g_opt_state)))
