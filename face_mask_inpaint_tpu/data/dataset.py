@@ -159,26 +159,40 @@ class ReferenceDataset(BasicDataset):
 
     def find_best_reference(self) -> dict:
         """Best-SSIM reference per image over its identity group, cached to
-        pkl (dataloader.py:191-218). Runs batched on-device via the JAX SSIM."""
+        pkl (dataloader.py:191-218).
+
+        TPU-friendly redesign of the reference's per-pair loop: each image is
+        decoded once per identity group, all candidate pairs of a group score
+        in ONE batched jitted SSIM call, and every image in the group gets its
+        argmax from the same pairwise matrix.
+        """
+        import jax
         import jax.numpy as jnp
 
         from face_mask_inpaint_tpu.evaluations.ssim import ssim as jssim
 
+        ssim_pair = jax.jit(
+            lambda a, b: jssim(a, b, data_range=1.0, size_average=False)
+        )
+
+        wanted = set(self.ids)
         best: dict[str, Optional[str]] = {}
-        for name in self.ids:
-            gt = _preprocess(_load(self.reference_dir / f"{name}.jpg"), self.scale, False)
-            gt_t = jnp.asarray(gt)[None]
-            max_score, best_ref = -10.0, None
-            for ref_name in self.identity_map[self.img2identity[name]]:
-                if ref_name == name:
-                    continue
-                ref = _preprocess(
-                    _load(self.reference_dir / f"{ref_name}.jpg"), self.scale, False
-                )
-                score = float(jssim(gt_t, jnp.asarray(ref)[None], data_range=1.0))
-                if score > max_score:
-                    max_score, best_ref = score, ref_name
-            best[name] = best_ref
+        for identity, group in self.identity_map.items():
+            if len(group) < 2 or not any(m in wanted for m in group):
+                continue
+            imgs = np.stack([
+                _preprocess(_load(self.reference_dir / f"{m}.jpg"), self.scale, False)
+                for m in group
+            ])
+            k = len(group)
+            # pairwise scores: (i, j) batched as k*k rows (k is small per group)
+            a = jnp.asarray(np.repeat(imgs, k, axis=0))
+            b = jnp.asarray(np.tile(imgs, (k, 1, 1, 1)))
+            scores = np.array(ssim_pair(a, b)).reshape(k, k)
+            np.fill_diagonal(scores, -np.inf)
+            for i, m in enumerate(group):
+                if m in wanted:
+                    best[m] = group[int(np.argmax(scores[i]))]
         with open(self.source_dir.parent / "best_reference_map.pkl", "wb") as f:
             pickle.dump(best, f)
         return best

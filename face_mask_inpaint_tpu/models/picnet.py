@@ -227,7 +227,11 @@ class ResGenerator(nn.Module):
                     use_coord=self.use_coord, kernel_init=self.kernel_init,
                     dtype=self.dtype, name=f"out{i}",
                 )(out, train=train)
-                out = jnp.concatenate([out, output], axis=-1)
+                if i < self.layers - 1:
+                    # the reference also concatenates after the LAST layer
+                    # (network.py:272) where the result is never consumed —
+                    # skipping saves a full-resolution concat + copy.
+                    out = jnp.concatenate([out, output], axis=-1)
         return output
 
 

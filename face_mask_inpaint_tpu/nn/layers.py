@@ -321,9 +321,11 @@ class InstanceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # stats in f32: bf16 accumulation over ~1M-pixel maps loses precision
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,))
