@@ -70,6 +70,10 @@ def blockwise_attention(
     l0 = jnp.zeros((n, lq, 1), jnp.float32)
     acc0 = tuple(jnp.zeros((n, lq, v.shape[-1]), jnp.float32) for v in vfs)
 
+    # remat: without it, differentiating the scan stores every per-block
+    # probability tile ([N, Lq, block] f32 per step) — tens of GB at 16k
+    # tokens. Recomputing them in the backward keeps residuals to the carry.
+    @jax.checkpoint
     def body(carry, blk):
         m, l, accs = carry
         k_b, v_bs, mask = blk
