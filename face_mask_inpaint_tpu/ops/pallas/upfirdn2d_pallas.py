@@ -63,7 +63,13 @@ def upfirdn1d_axis(
         l_in, other = w, h
     l_out = _out_len(l_in, up, down, pad0, pad1, ktaps)
 
-    t = min(tile, other)
+    # VMEM-aware tile: the kernel body holds the input block, a padded copy,
+    # per-phase accumulators and the output, all in f32 — budget ~2 MB for the
+    # padded copy so the total stays well under the 16 MB scoped limit.
+    bytes_per_col = (l_in + l_out + 2 * ktaps) * c * 4
+    budget = 2 * 1024 * 1024
+    t = max(8, min(tile, budget // max(bytes_per_col, 1)))
+    t = min(t, other)
     grid = (n, -(-other // t))
     other_pad = grid[1] * t - other
     if other_pad:
@@ -150,7 +156,10 @@ def _axis_kernel_body(x, taps, out_dtype, *, up, down, pad0, pad1, ktaps):
     assert up == 2 and down == 1
     half = (l_out + 1) // 2 + 1
     slack = ktaps
-    xp = jnp.pad(x, ((0, 0), (slack, slack + half), (0, 0)))
+    # exact right slack: the largest slice needs rows up to
+    # slack + ktaps//2 + half; anything more wastes VMEM.
+    right = max(0, slack + ktaps // 2 + half - (l_in + slack)) + 1
+    xp = jnp.pad(x, ((0, 0), (slack, right), (0, 0)))
     phases = []
     for phase in range(2):
         acc = jnp.zeros((t_dim, half, c), jnp.float32)
@@ -178,42 +187,58 @@ def _separable_taps(kernel2d: jax.Array):
     # fix sign so taps are positive-sum (blur kernels are nonnegative)
     if kh.sum() < 0:
         kh, kw = -kh, -kw
-    return jnp.asarray(kh, jnp.float32), jnp.asarray(kw, jnp.float32)
+    return np.asarray(kh, np.float32), np.asarray(kw, np.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.lru_cache(maxsize=None)
+def _make_op(kh_taps, kw_taps, up, down, pad, tile):
+    """Cached custom_vjp op for one STATIC (taps, mode) signature — the taps
+    close over the kernel so only x is traced."""
+    kh = np.asarray(kh_taps, np.float32)
+    kw = np.asarray(kw_taps, np.float32)
+    kernel2d = np.outer(kh, kw)
+
+    @jax.custom_vjp
+    def op(x):
+        # true convolution = correlation with flipped taps
+        y = upfirdn1d_axis(x, kh[::-1], axis=1, up=up, down=down, pad=pad, tile=tile)
+        return upfirdn1d_axis(y, kw[::-1], axis=2, up=up, down=down, pad=pad, tile=tile)
+
+    def fwd(x):
+        return op(x), x.shape
+
+    def bwd(x_shape, g):
+        """Gradient = upfirdn2d with swapped up/down, flipped kernel, and the
+        transposed pads (op/upfirdn2d.py:98-117)."""
+        ktaps = kh.shape[0]
+        pad0, _ = pad
+        g_pad0 = ktaps - pad0 - 1
+        g_pad1 = x_shape[1] * up - g.shape[1] * down + pad0 - up + 1
+        dx = upfirdn2d_pallas(
+            g, kernel2d[::-1, ::-1], down, up, (g_pad0, g_pad1), tile
+        )
+        return (dx,)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def upfirdn2d_pallas(x, kernel, up=1, down=1, pad=(0, 0), tile=128):
-    """Pallas-accelerated upfirdn2d on NHWC; falls back to the lax path for
-    unsupported modes / non-separable kernels."""
-    return _forward(x, kernel, up, down, pad, tile)
+    """Pallas-accelerated upfirdn2d on NHWC.
 
-
-def _forward(x, kernel, up, down, pad, tile):
-    taps = _separable_taps(jax.lax.stop_gradient(kernel))
+    ``kernel`` must be CONCRETE (numpy or a non-traced jax array) — blur
+    kernels are compile-time constants. Falls back to the lax path for traced
+    kernels, non-separable kernels, or unsupported modes.
+    """
+    if isinstance(kernel, jax.core.Tracer):
+        return lax_ref.upfirdn2d_lax(x, kernel, up=up, down=down, pad=pad)
+    taps = _separable_taps(kernel)
     if taps is None or (up, down) not in ((1, 1), (2, 1), (1, 2)):
         return lax_ref.upfirdn2d_lax(x, kernel, up=up, down=down, pad=pad)
     kh, kw = taps
-    # true convolution = correlation with flipped taps
-    y = upfirdn1d_axis(x, kh[::-1], axis=1, up=up, down=down, pad=pad, tile=tile)
-    return upfirdn1d_axis(y, kw[::-1], axis=2, up=up, down=down, pad=pad, tile=tile)
-
-
-def _fwd(x, kernel, up, down, pad, tile):
-    return _forward(x, kernel, up, down, pad, tile), (x.shape, kernel)
-
-
-def _bwd(up, down, pad, tile, res, g):
-    """Gradient = upfirdn2d with swapped up/down, flipped kernel, and the
-    transposed pads (op/upfirdn2d.py:98-117)."""
-    x_shape, kernel = res
-    kh = kernel.shape[0]
-    pad0, pad1 = pad
-    g_pad0 = kh - pad0 - 1
-    g_pad1 = x_shape[1] * up - g.shape[1] * down + pad0 - up + 1
-    dx = upfirdn2d_pallas(
-        g, jnp.flip(kernel, (0, 1)), down, up, (g_pad0, g_pad1), tile
+    op = _make_op(
+        tuple(float(v) for v in np.asarray(kh)),
+        tuple(float(v) for v in np.asarray(kw)),
+        int(up), int(down), (int(pad[0]), int(pad[1])), int(tile),
     )
-    return dx, None
-
-
-upfirdn2d_pallas.defvjp(_fwd, _bwd)
+    return op(x)

@@ -37,16 +37,18 @@ from face_mask_inpaint_tpu.ops.conv import depthwise_conv2d
 __all__ = ["upfirdn2d", "make_kernel", "upsample_2d", "downsample_2d", "blur"]
 
 
-def make_kernel(k) -> jnp.ndarray:
+def make_kernel(k) -> np.ndarray:
     """Normalized FIR kernel from a 1-D or 2-D tap list.
 
     Matches reference stylegan2/model.py:19-27: outer-product a 1-D kernel and
-    normalize to unit sum.
+    normalize to unit sum. Returns a STATIC numpy array: blur kernels are
+    compile-time constants, and keeping them concrete (not tracers) lets the
+    dispatcher choose the Pallas kernel inside jit.
     """
-    k = jnp.asarray(k, dtype=jnp.float32)
+    k = np.asarray(k, dtype=np.float32)
     if k.ndim == 1:
         k = k[None, :] * k[:, None]
-    return k / jnp.sum(k)
+    return k / np.sum(k)
 
 
 _IMPL = "auto"  # 'auto' (pallas on TPU, lax elsewhere) | 'lax' | 'pallas'
