@@ -70,6 +70,11 @@ def upfirdn1d_axis(
     budget = 2 * 1024 * 1024
     t = max(8, min(tile, budget // max(bytes_per_col, 1)))
     t = min(t, other)
+    # Mosaic sublane constraint: a partial block's second-to-last dim (= t in
+    # the H pass) must be a multiple of 8; a block equal to the full axis is
+    # always fine.
+    if t != other and t % 8:
+        t = max(8, t - t % 8)
     grid = (n, -(-other // t))
     other_pad = grid[1] * t - other
     if other_pad:
@@ -146,11 +151,17 @@ def _axis_kernel_body(x, taps, out_dtype, *, up, down, pad0, pad1, ktaps):
         if down == 1:
             for t in range(ktaps):
                 acc = acc + k[t] * jax.lax.slice_in_dim(xp, t, t + l_out, axis=1)
-        else:
+        else:  # down == 2: split taps by parity over ONE strided view each —
+            # per-tap 2*l_out-row copies would blow the VMEM budget.
+            l2 = xp.shape[1] // 2
+            pairs = jax.lax.slice_in_dim(xp, 0, 2 * l2, axis=1).reshape(
+                t_dim, l2, 2, c)
+            even = pairs[:, :, 0, :]  # xp[2j]
+            odd = pairs[:, :, 1, :]   # xp[2j+1]
             for t in range(ktaps):
-                s = jax.lax.slice_in_dim(xp, t, t + 2 * l_out, axis=1)
-                s = s.reshape(t_dim, l_out, 2, c)[:, :, 0, :]
-                acc = acc + k[t] * s
+                src = even if t % 2 == 0 else odd
+                acc = acc + k[t] * jax.lax.slice_in_dim(
+                    src, t // 2, t // 2 + l_out, axis=1)
         return acc.astype(out_dtype)
 
     assert up == 2 and down == 1
