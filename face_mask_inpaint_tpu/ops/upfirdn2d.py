@@ -86,7 +86,12 @@ def upfirdn2d(
     the supported separable modes; the lax fused-conv formulation is the
     fallback and autodiff reference.
     """
-    if _use_pallas() and not isinstance(kernel, jax.core.Tracer):
+    # Gate the Pallas path to large maps: small blurs are trivial bandwidth
+    # (lax is fine) and every distinct shape adds a Mosaic kernel compile —
+    # StyleGAN2 at 1024^2 would otherwise ship ~17 kernel specializations in
+    # one graph, which can OOM-kill AOT compile helpers.
+    large = x.shape[1] * x.shape[2] >= 256 * 256
+    if large and _use_pallas() and not isinstance(kernel, jax.core.Tracer):
         from face_mask_inpaint_tpu.ops.pallas.upfirdn2d_pallas import (
             upfirdn2d_pallas,
         )
