@@ -51,7 +51,12 @@ def make_kernel(k) -> np.ndarray:
     return k / np.sum(k)
 
 
-_IMPL = "auto"  # 'auto' (pallas on TPU, lax elsewhere) | 'lax' | 'pallas'
+_IMPL = "lax"  # 'lax' (default) | 'pallas' | 'auto' (pallas on TPU)
+# Default is the lax fused-conv path: on-chip measurements (round 1) show
+# XLA's conv handles these FIR resamplings well (StyleGAN2 1024^2 synthesis
+# 79.6 imgs/s @ bs2), while compiling several large-shape Mosaic kernels in
+# one graph can OOM-kill AOT compile helpers. The Pallas kernels are fully
+# tested (on-chip parity for blur/up2/down2) and selectable via set_impl.
 
 
 def set_impl(name: str) -> None:
