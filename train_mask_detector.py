@@ -92,14 +92,19 @@ def train_net(net, args, epochs, batch_size, learning_rate, val_percent,
     sample = dataset[0]
     key = jax.random.PRNGKey(0)
     variables = net.init(key, jnp.zeros((1, *sample["image"].shape)))
-    if args.load:
-        state_tpl = None  # restored below after tx init
     tx = adam(learning_rate)
     mstate = ModuleState.from_variables(variables)
     state = TrainState(step=jnp.zeros([], jnp.int32), model=mstate,
                        opt_state=tx.init(mstate.params), rng=key)
     if args.load:
-        state = ckpt.restore_state(args.load, state)
+        if str(args.load).endswith((".pth", ".pt")):
+            from face_mask_inpaint_tpu.tools.convert_torch import (
+                convert_unet, load_torch_state_dict)
+            conv = jax.tree.map(jnp.asarray, convert_unet(
+                load_torch_state_dict(args.load)))
+            state = state.replace(model=ModuleState.from_variables(conv))
+        else:
+            state = ckpt.restore_state(args.load, state)
         logging.info("Model loaded from %s", args.load)
     state = replicate_tree(state, mesh)
 
