@@ -210,3 +210,47 @@ def test_irse_converter_structure():
 
     emb = face.apply(jax.tree.map(jnp.asarray, conv), x, train=False)
     assert emb.shape == (1, 512)
+
+
+def test_styled_conv_converter_numeric_parity():
+    """Converted torch-layout StyledConv weights must reproduce the torch
+    computation through our flax StyledConv (modulation linear transpose,
+    [1,out,in,k,k] -> HWIO, activate bias, noise weight)."""
+    from face_mask_inpaint_tpu.models.stylegan2 import StyledConv
+
+    rng = np.random.RandomState(0)
+    n, cin, cout, k, hw, sdim = 2, 8, 12, 3, 6, 16
+    sd = {
+        "conv.weight": rng.randn(1, cout, cin, k, k).astype(np.float32),
+        "conv.modulation.weight": rng.randn(cin, sdim).astype(np.float32),
+        "conv.modulation.bias": rng.randn(cin).astype(np.float32) + 1,
+        "noise.weight": np.asarray([0.7], np.float32),
+        "activate.bias": rng.randn(cout).astype(np.float32),
+    }
+    sd = {f"blk.{kk}": v for kk, v in sd.items()}
+    params = ct._styled_conv(sd, "blk")
+
+    x = rng.randn(n, hw, hw, cin).astype(np.float32)
+    style = rng.randn(n, sdim).astype(np.float32)
+    noise = rng.randn(n, hw, hw, 1).astype(np.float32)
+
+    mod = StyledConv(cout, k)
+    ours = mod.apply({"params": jax.tree.map(jnp.asarray, params)},
+                     jnp.asarray(x), jnp.asarray(style), noise=jnp.asarray(noise))
+
+    # torch-core reference computation (stylegan2/model.py:241-346 semantics)
+    w = torch.from_numpy(sd["blk.conv.weight"])
+    mw = torch.from_numpy(sd["blk.conv.modulation.weight"])
+    mb = torch.from_numpy(sd["blk.conv.modulation.bias"])
+    s_t = torch.from_numpy(style) @ mw.T * np.float32(1 / np.sqrt(sdim)) + mb
+    scale = np.float32(1 / np.sqrt(cin * k * k))
+    weight = scale * w * s_t.view(n, 1, cin, 1, 1)
+    demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+    weight = (weight * demod.view(n, cout, 1, 1, 1)).reshape(n * cout, cin, k, k)
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2)).reshape(1, n * cin, hw, hw)
+    out = F.conv2d(x_t, weight, padding=k // 2, groups=n).view(n, cout, hw, hw)
+    out = out + 0.7 * torch.from_numpy(noise.transpose(0, 3, 1, 2))
+    out = F.leaky_relu(out + torch.from_numpy(
+        sd["blk.activate.bias"]).view(1, -1, 1, 1), 0.2) * np.float32(np.sqrt(2))
+    theirs = out.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-4)
