@@ -21,10 +21,24 @@ from face_mask_inpaint_tpu.nn.layers import (
     Activation,
     Conv2d,
     ConvTranspose2d,
+    InstanceNorm2d,
     make_norm,
 )
 from face_mask_inpaint_tpu.ops.conv import pixel_shuffle
 from face_mask_inpaint_tpu.ops.resize import avg_pool2d, reflection_pad2d
+
+
+def _norm_act(h, norm, activation, name, train, act_module):
+    """Apply [norm -> activation]; for instance norm + (Leaky)ReLU this is
+    ONE fused pass (InstanceNorm2d.fuse_act -> the Pallas norm-act kernel on
+    TPU), otherwise the registry norm followed by the activation module."""
+    if norm == "instance" and activation in ("LeakyReLU", "ReLU"):
+        return InstanceNorm2d(fuse_act=activation, name=name)(h)
+    norm_mod = make_norm(norm, name, train)
+    if norm_mod is not None:
+        h = norm_mod(h)
+    return act_module(h)
+
 
 Dtype = Any
 
@@ -134,16 +148,9 @@ class ResBlock(nn.Module):
                 name=name,
             )
 
-        h = x
-        norm1 = make_norm(self.norm, "norm1", train)
-        if norm1 is not None:
-            h = norm1(h)
-        h = act(h)
+        h = _norm_act(x, self.norm, self.activation, "norm1", train, act)
         h = cc(hidden_nc, 3, 1, "conv1")(h)
-        norm2 = make_norm(self.norm, "norm2", train)
-        if norm2 is not None:
-            h = norm2(h)
-        h = act(h)
+        h = _norm_act(h, self.norm, self.activation, "norm2", train, act)
         h = cc(out_nc, 3, 1, "conv2")(h)
 
         s = cc(out_nc, 1, 0, "bypass")(x)
@@ -213,19 +220,12 @@ class ResBlockDecoder(nn.Module):
         hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
         act = Activation(self.activation, name="act")
 
-        h = x
-        norm1 = make_norm(self.norm, "norm1", train)
-        if norm1 is not None:
-            h = norm1(h)
-        h = act(h)
+        h = _norm_act(x, self.norm, self.activation, "norm1", train, act)
         h = Conv2d(
             hidden_nc, 3, padding=1, use_spect=self.use_spect,
             kernel_init=self.kernel_init, dtype=self.dtype, name="conv1",
         )(h)
-        norm2 = make_norm(self.norm, "norm2", train)
-        if norm2 is not None:
-            h = norm2(h)
-        h = act(h)
+        h = _norm_act(h, self.norm, self.activation, "norm2", train, act)
         h = ConvTranspose2d(
             self.output_nc, 3, stride=2, padding=1, output_padding=1,
             use_spect=self.use_spect, kernel_init=self.kernel_init,

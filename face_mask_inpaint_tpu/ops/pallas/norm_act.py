@@ -1,0 +1,170 @@
+"""Fused InstanceNorm + activation Pallas kernel.
+
+The PICNet decoder's hot stages run [InstanceNorm -> LeakyReLU -> conv] on
+512²-to-1024² maps with <=64 channels. XLA splits that into a reduction pair
+plus a standalone elementwise fusion over lane-padded layouts — measured
+~100-200 GB/s (trace: compare_select_fusion 14.7 ms + convert_reduce ~10 ms
+per flagship step at bs16). This kernel does it in two streaming passes:
+
+  pass 1: per-(sample, channel) partial sums/sumsq over H tiles  (1 read)
+  finish: tiny XLA reduction -> per-(n, c) affine a, b
+  pass 2: y = act(a * x + b)                                      (1 read+write)
+
+Forward-only fast path; the backward recomputes through the exact jnp
+formulation via custom_vjp (training shapes are small enough for XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["instance_norm_act", "instance_norm_act_reference"]
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def _act(y, kind, slope):
+    if kind == "LeakyReLU":
+        return jnp.where(y >= 0, y, y * slope)
+    if kind == "ReLU":
+        return jnp.maximum(y, 0)
+    if kind == "none":
+        return y
+    raise NotImplementedError(kind)
+
+
+def instance_norm_act_reference(x, scale, bias, act="LeakyReLU", slope=0.1,
+                                eps=1e-5):
+    """Exact jnp formulation (matches nn.layers.InstanceNorm2d + activation);
+    also the backward path."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return _act(y, act, slope).astype(x.dtype)
+
+
+def _stats_kernel(x_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)  # [Th, W, C]
+    s = jnp.sum(x, axis=(0, 1))
+    ss = jnp.sum(x * x, axis=(0, 1))
+    o_ref[0, 0] = jnp.stack([s, ss], axis=0)  # [2, C]
+
+
+def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act, slope):
+    x = x_ref[0].astype(jnp.float32)  # [Th, W, C]
+    a = a_ref[0, 0]  # [C] f32
+    b = b_ref[0, 0]
+    y = x * a[None, None, :] + b[None, None, :]
+    o_ref[0] = _act(y, act, slope).astype(o_ref.dtype)
+
+
+def _tile(h, w, c, budget=384 * 1024):
+    # Mosaic's scoped-vmem accounting is per-op (f32 temporaries are not
+    # reused), so keep the block small: ~6 live f32 copies of the block plus
+    # double-buffered IO must stay under the 16 MB limit.
+    t = max(8, min(h, budget // max(w * c * 4, 1)))
+    if t != h and t % 8:
+        t = max(8, t - t % 8)
+    return t
+
+
+def _forward(x, scale, bias, act, slope, eps):
+    n, h, w, c = x.shape
+    th = _tile(h, w, c)
+    nt = -(-h // th)
+    hpad = nt * th - h
+    xp = jnp.pad(x, ((0, 0), (0, hpad), (0, 0), (0, 0))) if hpad else x
+    interpret = _interpret()
+
+    parts = pl.pallas_call(
+        _stats_kernel,
+        grid=(n, nt),
+        in_specs=[pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nt, 2, c), jnp.float32),
+        interpret=interpret,
+    )(xp)
+    sums = jnp.sum(parts, axis=1)  # [N, 2, C] (padded rows are zero)
+    cnt = float(h * w)
+    mean = sums[:, 0, :] / cnt
+    var = sums[:, 1, :] / cnt - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        a = inv * scale.astype(jnp.float32)[None, :]
+        b = bias.astype(jnp.float32)[None, :] - mean * a
+    else:
+        a = inv
+        b = -mean * a
+    a3 = a[:, None, :]  # [N, 1, C]
+    b3 = b[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, act=act, slope=slope),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        interpret=interpret,
+    )(xp, a3, b3)
+    return out[:, :h] if hpad else out
+
+
+def instance_norm_act(x, scale, bias, act: str = "LeakyReLU",
+                      slope: float = 0.1, eps: float = 1e-5):
+    """Fused instance norm (+affine) + activation over NHWC.
+
+    x: [N, H, W, C]; scale/bias: [C] or None (no affine).
+    """
+    act_s, slope_s, eps_s = str(act), float(slope), float(eps)
+
+    @jax.custom_vjp
+    def op(x, scale, bias):
+        return _forward(x, scale, bias, act_s, slope_s, eps_s)
+
+    def fwd(x, scale, bias):
+        return op(x, scale, bias), (x, scale, bias)
+
+    def bwd(res, g):
+        x, scale, bias = res
+        _, vjp = jax.vjp(
+            lambda x, s, b: instance_norm_act_reference(
+                x, s, b, act_s, slope_s, eps_s),
+            x, scale, bias,
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op(x, scale, bias)
+
+
+_IMPL = "reference"  # 'reference' (default — XLA fuses this pattern well) | 'pallas'
+
+
+def set_impl(name: str) -> None:
+    global _IMPL
+    assert name in ("reference", "pallas")
+    _IMPL = name
+
+
+def use_pallas() -> bool:
+    return _IMPL == "pallas"

@@ -74,3 +74,26 @@ def test_fused_act_pallas_matches():
     gr = jax.grad(loss_r, argnums=(0, 1))(x, b)
     for a, c in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_act_pallas_matches_reference():
+    from face_mask_inpaint_tpu.ops.pallas.norm_act import (
+        instance_norm_act, instance_norm_act_reference)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 35, 17, 8).astype(np.float32)) * 3 + 1
+    s = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    for act in ("LeakyReLU", "ReLU", "none"):
+        ref = instance_norm_act_reference(x, s, b, act)
+        got = instance_norm_act(x, s, b, act)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    g1 = jax.grad(lambda x, s, b: jnp.sum(instance_norm_act(x, s, b) ** 2),
+                  argnums=(0, 1, 2))(x, s, b)
+    g2 = jax.grad(lambda x, s, b: jnp.sum(
+        instance_norm_act_reference(x, s, b) ** 2), argnums=(0, 1, 2))(x, s, b)
+    for a_, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
