@@ -476,6 +476,45 @@ def _is_wrapped(path: list[str]) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# DRN-C (alternative ReferenceFill encoder; pretrained at dl.yf.io, drn.py:15)
+# ---------------------------------------------------------------------------
+
+def convert_drn_c(sd: dict, layers=(1, 1, 3, 4, 6, 3, 1, 1)) -> dict:
+    """drn_c_* state dict -> models/drn.DRN variables (arch 'C', BasicBlock).
+
+    The replaced 1x1 'fc' head (modules/model.py:50-55) converts when present.
+    """
+    params: dict[str, Any] = {
+        "conv1": plain_conv(sd, "conv1"),
+        "bn1": {"bn": bn(sd, "bn1")},
+    }
+
+    def basic_block(prefix):
+        blk = {
+            "conv1": plain_conv(sd, f"{prefix}.conv1"),
+            "bn1": {"bn": bn(sd, f"{prefix}.bn1")},
+            "conv2": plain_conv(sd, f"{prefix}.conv2"),
+            "bn2": {"bn": bn(sd, f"{prefix}.bn2")},
+        }
+        if f"{prefix}.downsample.0.weight" in sd:
+            blk["downsample_conv"] = plain_conv(sd, f"{prefix}.downsample.0")
+            blk["downsample_bn"] = {"bn": bn(sd, f"{prefix}.downsample.1")}
+        return blk
+
+    for li, n_blocks in enumerate(layers, start=1):
+        if n_blocks == 0:
+            continue
+        group = {}
+        for bi in range(n_blocks):
+            group[f"block{bi}"] = basic_block(f"layer{li}.{bi}")
+        params[f"layer{li}"] = group
+    if "fc.weight" in sd and sd["fc.weight"].ndim == 4:
+        params["fc"] = plain_conv(sd, "fc")
+    params, stats = _split_bn(params)
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # InceptionV3 (FID)
 # ---------------------------------------------------------------------------
 

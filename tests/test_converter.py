@@ -254,3 +254,55 @@ def test_styled_conv_converter_numeric_parity():
         sd["blk.activate.bias"]).view(1, -1, 1, 1), 0.2) * np.float32(np.sqrt(2))
     theirs = out.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-3, atol=2e-4)
+
+
+def test_drn_converter_structure():
+    from face_mask_inpaint_tpu.models.drn import drn_c_42
+
+    rng = np.random.RandomState(1)
+    sd = {}
+
+    def conv(prefix, cin, cout, k):
+        sd[f"{prefix}.weight"] = rng.randn(cout, cin, k, k).astype(np.float32)
+
+    def bn_(prefix, c):
+        sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    chans = (16, 32, 64, 128, 256, 512, 512, 512)
+    layers = (1, 1, 3, 4, 6, 3, 1, 1)
+    conv("conv1", 3, 16, 7)
+    bn_("bn1", 16)
+    in_planes = 16
+    for li, (n, c) in enumerate(zip(layers, chans), start=1):
+        for bi in range(n):
+            p = f"layer{li}.{bi}"
+            cin = in_planes if bi == 0 else c
+            conv(f"{p}.conv1", cin, c, 3)
+            bn_(f"{p}.bn1", c)
+            conv(f"{p}.conv2", c, c, 3)
+            bn_(f"{p}.bn2", c)
+            stride_change = li in (2, 3, 4)
+            if bi == 0 and (cin != c or stride_change) and li not in (7, 8):
+                conv(f"{p}.downsample.0", cin, c, 1)
+                bn_(f"{p}.downsample.1", c)
+        in_planes = c
+    conv("fc", 512, 128, 1)
+    sd["fc.bias"] = np.zeros(128, np.float32)
+
+    variables = ct.convert_drn_c(sd)
+    model = drn_c_42(head_features=128)
+    x = jnp.zeros((1, 32, 32, 3))
+    vs = model.init(KEY, x, train=False)
+
+    import flax.traverse_util as tu
+    conv_p = tu.flatten_dict(variables["params"])
+    ours_p = tu.flatten_dict(vs["params"])
+    assert set(conv_p.keys()) == set(ours_p.keys()), sorted(
+        set(conv_p) ^ set(ours_p))[:10]
+    for k in ours_p:
+        assert tuple(np.shape(conv_p[k])) == tuple(ours_p[k].shape), k
+    out = model.apply(jax.tree.map(jnp.asarray, variables), x, train=False)
+    assert out.shape == (1, 4, 4, 128)
