@@ -2,9 +2,10 @@
 
 TPU-native re-design of reference modules/pluralistic_model/base_function.py
 (ResBlock family, Auto_Attn, CoordConv) and modules/example_guided_att.py
-(ExampleGuidedAttention). All attention maps here are tiny ([N, HW, HW] with
-HW <= 64^2), so they are materialized as plain batched matmuls on the MXU —
-no flash/blockwise machinery is needed (see SURVEY.md §5).
+(ExampleGuidedAttention). Attention maps up to 4096 tokens are materialized
+as plain batched MXU matmuls; larger ones (the 256^2 decode path puts
+Auto_Attn at 128^2 = 16k tokens) stream through the flash-attention Pallas
+kernel / blockwise softmax in ops/attention.py.
 
 Layout: NHWC.
 """
