@@ -173,6 +173,11 @@ class ResGenerator(nn.Module):
     use_attn: bool = True
     kernel_init: Callable = get_initializer("orthogonal")
     dtype: Dtype = jnp.float32
+    # Decoder stages whose output resolution exceeds this run space-to-depth
+    # packed (ops/packed.py): identical math, MXU/lane-friendly layouts. The
+    # reference flagship decodes to 1024² with 32 channels (network.py:269)
+    # where plain NHWC execution is layout-bound on TPU.
+    pack_threshold: int = 256
 
     @nn.compact
     def __call__(
@@ -182,7 +187,11 @@ class ResGenerator(nn.Module):
         f_e: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         train: bool = True,
+        fuse_pool: Optional[int] = None,
     ) -> jax.Array:
+        """fuse_pool: when it equals the tail's final packing factor, the
+        Output head folds the caller's integer-factor adaptive avg-pool into
+        the packed form and returns the pooled image directly."""
         kw = dict(
             activation=self.activation,
             use_spect=self.use_spect,
@@ -207,15 +216,35 @@ class ResGenerator(nn.Module):
         else:
             out = encoded
 
+        # packing is legal for the norms/acts the packed ops support and
+        # only useful when spatial dims stay block-aligned
+        packable = (
+            self.norm in ("instance", "none")
+            and self.activation != "PReLU"
+            and not self.use_coord
+        )
         output = None
+        r = 1  # current space-to-depth factor of `out`
         for i in range(self.layers):
             mult = min(2 ** (self.layers - i - 1), self.img_f // self.ngf)
             ch = int(self.ngf * mult)
+            h_next = out.shape[1] * r * 2
+            w_next = out.shape[2] * r * 2
+            pack_out = r > 1 or (
+                packable and min(h_next, w_next) > self.pack_threshold
+            )
             out = ResBlockDecoder(
                 output_nc=ch, hidden_nc=ch, norm=self.norm,
                 name=f"decoder{i}", **kw,
-            )(out, train=train)
+            )(out, train=train, pack_in=r, pack_output=pack_out)
+            if pack_out:
+                r *= 2
             if i == 1 and self.use_attn:
+                if r > 1:  # attention needs the full-resolution map
+                    from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+                    out = depth_to_space(out, r)
+                    r = 1
                 out, _ = AutoAttention(
                     norm=self.norm, kernel_init=self.kernel_init,
                     dtype=self.dtype, name=f"attn{i}",
@@ -226,7 +255,7 @@ class ResGenerator(nn.Module):
                     activation=self.activation, use_spect=self.use_spect,
                     use_coord=self.use_coord, kernel_init=self.kernel_init,
                     dtype=self.dtype, name=f"out{i}",
-                )(out, train=train)
+                )(out, train=train, pack_in=r, fuse_pool=fuse_pool == r and r > 1)
                 if i < self.layers - 1:
                     # the reference also concatenates after the LAST layer
                     # (network.py:272) where the result is never consumed —
@@ -371,12 +400,14 @@ def define_g(
     use_attn: bool = True,
     init_type: str = "orthogonal",
     dtype: Dtype = jnp.float32,
+    pack_threshold: int = 256,
     **_unused,
 ) -> ResGenerator:
     return ResGenerator(
         output_nc=output_nc, ngf=ngf, z_nc=z_nc, img_f=img_f, L=L, layers=layers,
         norm=norm, activation=activation, use_spect=use_spect, use_coord=use_coord,
         use_attn=use_attn, kernel_init=get_initializer(init_type), dtype=dtype,
+        pack_threshold=pack_threshold,
     )
 
 

@@ -97,17 +97,29 @@ class ReferenceFill(nn.Module):
             enc_features = (1.0 - scaled_mask) * src_features + scaled_mask * ref_features
 
         decoder = define_g(**dec_p, dtype=self.dtype).copy(name="decoder")
+        # When the decode upsamples to an integer multiple of out_size, ask
+        # the decoder to fold the adaptive avg-pool into its packed tail
+        # (ops/packed.py) — the full-resolution image is never materialized.
+        fuse_pool = None
+        if resize and not no_prior:
+            h_dec = enc_features.shape[1] * 2 ** dec_p.get("layers", 5)
+            w_dec = enc_features.shape[2] * 2 ** dec_p.get("layers", 5)
+            if (h_dec % self.out_size[0] == 0 and w_dec % self.out_size[1] == 0
+                    and h_dec // self.out_size[0] == w_dec // self.out_size[1]):
+                fuse_pool = h_dec // self.out_size[0]
         if encoder_type == "drn" or no_prior:
-            dec_image = decoder(enc_features, train=train)
+            dec_image = decoder(enc_features, train=train, fuse_pool=fuse_pool)
         else:
             if rng is None:
                 rng = self.make_rng("sample")
             z = sample_z(src_dist, ref_dist, rng, return_zq=not self.use_att)
-            dec_image = decoder(enc_features, z=z, train=train)
+            dec_image = decoder(enc_features, z=z, train=train,
+                                fuse_pool=fuse_pool)
 
         if resize:
             if no_prior:
                 dec_image = scale_img(dec_image, (218, 178))
             else:
+                # identity when the decoder already emitted the pooled size
                 dec_image = adaptive_avg_pool2d(dec_image, self.out_size)
         return dec_image

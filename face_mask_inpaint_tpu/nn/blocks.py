@@ -29,12 +29,18 @@ from face_mask_inpaint_tpu.ops.conv import pixel_shuffle
 from face_mask_inpaint_tpu.ops.resize import avg_pool2d, reflection_pad2d
 
 
-def _norm_act(h, norm, activation, name, train, act_module):
+def _norm_act(h, norm, activation, name, train, act_module, pack: int = 1):
     """Apply [norm -> activation]; for instance norm + (Leaky)ReLU this is
     ONE fused pass (InstanceNorm2d.fuse_act -> the Pallas norm-act kernel on
-    TPU), otherwise the registry norm followed by the activation module."""
+    TPU), otherwise the registry norm followed by the activation module.
+    pack > 1 executes on the space-to-depth packed layout (instance/none
+    norms only; the decoder-tail gating in ResGenerator guarantees this)."""
     if norm == "instance" and activation in ("LeakyReLU", "ReLU"):
-        return InstanceNorm2d(fuse_act=activation, name=name)(h)
+        return InstanceNorm2d(fuse_act=activation, name=name)(h, pack=pack)
+    if pack > 1:
+        assert norm == "none" and activation != "PReLU", (
+            "packed norm-act supports instance/none norms, non-PReLU acts")
+        return act_module(h)
     norm_mod = make_norm(norm, name, train)
     if norm_mod is not None:
         h = norm_mod(h)
@@ -92,8 +98,9 @@ class CoordConvWrap(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pack: int = 1) -> jax.Array:
         if self.use_coord:
+            assert pack == 1, "CoordConv is incompatible with packed execution"
             x = add_coords(x, self.with_r)
         return Conv2d(
             features=self.features,
@@ -105,7 +112,7 @@ class CoordConvWrap(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="conv",
-        )(x)
+        )(x, pack=pack)
 
 
 class ResBlock(nn.Module):
@@ -217,27 +224,35 @@ class ResBlockDecoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = True,
+        pack_in: int = 1, pack_output: bool = False,
+    ) -> jax.Array:
+        """pack_in: the input's space-to-depth factor (1 = plain NHWC).
+        pack_output: emit the upsampled result packed at 2*pack_in on the
+        same block grid instead of materializing the doubled resolution."""
         hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
         act = Activation(self.activation, name="act")
 
-        h = _norm_act(x, self.norm, self.activation, "norm1", train, act)
+        h = _norm_act(x, self.norm, self.activation, "norm1", train, act,
+                      pack=pack_in)
         h = Conv2d(
             hidden_nc, 3, padding=1, use_spect=self.use_spect,
             kernel_init=self.kernel_init, dtype=self.dtype, name="conv1",
-        )(h)
-        h = _norm_act(h, self.norm, self.activation, "norm2", train, act)
+        )(h, pack=pack_in)
+        h = _norm_act(h, self.norm, self.activation, "norm2", train, act,
+                      pack=pack_in)
         h = ConvTranspose2d(
             self.output_nc, 3, stride=2, padding=1, output_padding=1,
             use_spect=self.use_spect, kernel_init=self.kernel_init,
             dtype=self.dtype, name="conv2",
-        )(h)
+        )(h, pack_in=pack_in, packed_out=pack_output)
 
         s = ConvTranspose2d(
             self.output_nc, 3, stride=2, padding=1, output_padding=1,
             use_spect=self.use_spect, kernel_init=self.kernel_init,
             dtype=self.dtype, name="bypass",
-        )(x)
+        )(x, pack_in=pack_in, packed_out=pack_output)
         return h + s
 
 
@@ -255,15 +270,18 @@ class Output(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, train: bool = True,
+        pack_in: int = 1, fuse_pool: bool = False,
+    ) -> jax.Array:
+        """pack_in > 1: the input arrives space-to-depth packed; the head then
+        runs entirely on the packed layout (the reference decodes 512²-1024²
+        maps here, network.py:269-272) with an exact reflection-pad border
+        correction. fuse_pool additionally folds the caller's integer-factor
+        adaptive avg-pool (modules/model.py:79) into a channel-group mean so
+        the full-resolution image is never materialized."""
         act = Activation(self.activation, name="act")
-        norm1 = make_norm(self.norm, "norm1", train)
-        h = x
-        if norm1 is not None:
-            h = norm1(h)
-        h = act(h)
-        h = reflection_pad2d(h, self.kernel_size // 2)
-        h = CoordConvWrap(
+        conv = CoordConvWrap(
             features=self.output_nc,
             kernel_size=self.kernel_size,
             padding=0,
@@ -272,8 +290,64 @@ class Output(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="conv1",
-        )(h)
-        return jnp.tanh(h)
+        )
+        if pack_in > 1 and (
+            self.norm != "none" or self.activation == "PReLU"
+            or self.use_coord or self.kernel_size != 3
+        ):
+            from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+            x = depth_to_space(x, pack_in)
+            pack_in = 1
+
+        if pack_in == 1:
+            norm1 = make_norm(self.norm, "norm1", train)
+            h = x
+            if norm1 is not None:
+                h = norm1(h)
+            h = act(h)
+            h = reflection_pad2d(h, self.kernel_size // 2)
+            return jnp.tanh(conv(h))
+
+        from face_mask_inpaint_tpu.ops.packed import (
+            depth_to_space, packed_block_mean)
+
+        r = pack_in
+        n, hp, wp, _ = x.shape
+        co = self.output_nc
+        h = act(x)
+        y = conv(h, pack=r)  # 'same' zero-pad conv on the packed grid
+
+        # Exact reflection-pad border: recompute the outermost output ring
+        # from thin strips at original resolution (reflect maps row -1 -> 1,
+        # row H -> H-2; same for columns).
+        def row_strip(block_row, offsets):
+            strip = depth_to_space(h[:, block_row:block_row + 1], r)  # [N,r,W,C]
+            t = strip[:, offsets]
+            t = jnp.pad(t, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+            return conv(t)[:, 0]  # VALID k3 -> [N, W, co]
+
+        def col_strip(block_col, offsets):
+            strip = depth_to_space(h[:, :, block_col:block_col + 1], r)  # [N,H,r,C]
+            t = strip[:, :, offsets]
+            t = jnp.pad(t, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+            return conv(t)[:, :, 0]  # [N, H, co]
+
+        top = row_strip(0, [1, 0, 1]).reshape(n, wp, r, co)
+        bot = row_strip(hp - 1, [r - 2, r - 1, r - 2]).reshape(n, wp, r, co)
+        left = col_strip(0, [1, 0, 1]).reshape(n, hp, r, co)
+        right = col_strip(wp - 1, [r - 2, r - 1, r - 2]).reshape(n, hp, r, co)
+
+        yv = y.reshape(n, hp, wp, r, r, co)
+        yv = yv.at[:, 0, :, 0, :, :].set(top)
+        yv = yv.at[:, -1, :, r - 1, :, :].set(bot)
+        yv = yv.at[:, :, 0, :, 0, :].set(left)
+        yv = yv.at[:, :, -1, :, r - 1, :].set(right)
+        y = jnp.tanh(yv.reshape(n, hp, wp, r * r * co))
+
+        if fuse_pool:
+            return packed_block_mean(y, r)
+        return depth_to_space(y, r)
 
 
 class AutoAttention(nn.Module):

@@ -182,11 +182,14 @@ class Conv2d(nn.Module, _SpectralMixin):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pack: int = 1) -> jax.Array:
+        """pack > 1 runs the SAME conv (same params) on a space-to-depth
+        packed input (ops/packed.py): a 'same' stride-1 conv at the original
+        resolution, executed on the MXU-friendly packed layout."""
         ks = self.kernel_size
         if isinstance(ks, int):
             ks = (ks, ks)
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // (pack * pack)
         w = self.param(
             "kernel", self.kernel_init, (*ks, in_ch // self.groups, self.features)
         )
@@ -197,6 +200,14 @@ class Conv2d(nn.Module, _SpectralMixin):
             if self.use_bias
             else None
         )
+        if pack > 1:
+            assert (self.stride, self.dilation, self.groups) == (1, 1, 1), (
+                "packed conv supports stride/dilation/groups == 1 only")
+            from face_mask_inpaint_tpu.ops.packed import packed_conv3x3
+
+            return packed_conv3x3(
+                x.astype(self.dtype), w.astype(self.dtype),
+                b.astype(self.dtype) if b is not None else None, pack)
         return conv2d(
             x.astype(self.dtype),
             w.astype(self.dtype),
@@ -229,8 +240,13 @@ class ConvTranspose2d(nn.Module, _SpectralMixin):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(
+        self, x: jax.Array, pack_in: int = 1, packed_out: bool = False
+    ) -> jax.Array:
+        """packed_out runs the SAME transposed conv (same params) from a
+        pack_in-packed input to a (2*pack_in)-packed output on the same block
+        grid (ops/packed.py) — the decoder-tail execution strategy."""
+        in_ch = x.shape[-1] // (pack_in * pack_in)
         w = self.param(
             "kernel",
             self.kernel_init,
@@ -243,6 +259,16 @@ class ConvTranspose2d(nn.Module, _SpectralMixin):
             if self.use_bias
             else None
         )
+        if packed_out:
+            assert (self.kernel_size, self.stride, self.padding,
+                    self.output_padding) == (3, 2, 1, 1), (
+                "packed convT supports k=3, s=2, p=1, op=1 only")
+            from face_mask_inpaint_tpu.ops.packed import packed_conv_transpose2x
+
+            return packed_conv_transpose2x(
+                x.astype(self.dtype), w.astype(self.dtype),
+                b.astype(self.dtype) if b is not None else None, pack_in)
+        assert pack_in == 1, "unpacked output from packed input is unsupported"
         return conv_transpose2d(
             x.astype(self.dtype),
             w.astype(self.dtype),
@@ -328,7 +354,18 @@ class InstanceNorm2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pack: int = 1) -> jax.Array:
+        if pack > 1:
+            from face_mask_inpaint_tpu.ops.packed import packed_instance_norm_act
+
+            c = x.shape[-1] // (pack * pack)
+            scale = bias = None
+            if self.affine:
+                scale = self.param("scale", nn.initializers.ones, (c,))
+                bias = self.param("bias", nn.initializers.zeros, (c,))
+            return packed_instance_norm_act(
+                x, scale, bias, pack, self.fuse_act or "none",
+                self.act_slope, self.epsilon)
         if self.fuse_act is not None and self.affine:
             from face_mask_inpaint_tpu.ops.pallas import norm_act as na
 

@@ -1,0 +1,169 @@
+"""Packed (space-to-depth) execution parity.
+
+The decoder tail runs 512²/1024² stages on a 256² block grid with packed
+channels (ops/packed.py); these tests pin the packed ops and the packed
+ResGenerator/Output paths to the plain NHWC formulations — same params, same
+math (reference semantics: network.py:247-273, base_function.py:308-398,
+modules/model.py:79).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_mask_inpaint_tpu.models.picnet import define_g
+from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
+from face_mask_inpaint_tpu.ops import packed as P
+from face_mask_inpaint_tpu.ops.conv import conv2d, conv_transpose2d
+from face_mask_inpaint_tpu.ops.resize import adaptive_avg_pool2d, reflection_pad2d
+
+
+@pytest.fixture(scope="module")
+def rs():
+    return np.random.RandomState(0)
+
+
+def test_space_to_depth_roundtrip(rs):
+    x = jnp.asarray(rs.randn(2, 16, 16, 6), jnp.float32)
+    for r in (2, 4):
+        assert jnp.allclose(P.depth_to_space(P.space_to_depth(x, r), r), x)
+
+
+@pytest.mark.parametrize("r", [2, 4])
+@pytest.mark.parametrize("ks", [1, 3])
+def test_packed_conv_same(rs, r, ks):
+    x = jnp.asarray(rs.randn(2, 16, 16, 6), jnp.float32)
+    w = jnp.asarray(rs.randn(ks, ks, 6, 5) * 0.3, jnp.float32)
+    b = jnp.asarray(rs.randn(5), jnp.float32)
+    ref = conv2d(x, w, b, padding=ks // 2)
+    got = P.depth_to_space(P.packed_conv3x3(P.space_to_depth(x, r), w, b, r), r)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("r_in", [1, 2])
+def test_packed_conv_transpose(rs, r_in):
+    x = jnp.asarray(rs.randn(2, 16, 16, 6), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 6, 5) * 0.3, jnp.float32)
+    b = jnp.asarray(rs.randn(5), jnp.float32)
+    ref = conv_transpose2d(x, w, b, stride=2, padding=1, output_padding=1)
+    xin = P.space_to_depth(x, r_in) if r_in > 1 else x
+    got = P.depth_to_space(
+        P.packed_conv_transpose2x(xin, w, b, r_in), 2 * r_in)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_packed_instance_norm_act(rs):
+    from face_mask_inpaint_tpu.ops.pallas.norm_act import (
+        instance_norm_act_reference)
+
+    x = jnp.asarray(rs.randn(2, 16, 16, 6), jnp.float32)
+    s = jnp.asarray(rs.rand(6) + 0.5, jnp.float32)
+    b = jnp.asarray(rs.randn(6), jnp.float32)
+    ref = instance_norm_act_reference(x, s, b, "LeakyReLU", 0.1)
+    got = P.depth_to_space(
+        P.packed_instance_norm_act(P.space_to_depth(x, 4), s, b, 4), 4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_packed_block_mean_is_adaptive_pool(rs):
+    x = jnp.asarray(rs.randn(2, 16, 16, 3), jnp.float32)
+    ref = adaptive_avg_pool2d(x, (4, 4))
+    got = P.packed_block_mean(P.space_to_depth(x, 4), 4)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def _dec_params():
+    return dict(ngf=8, z_nc=8, img_f=32, L=0, layers=3, norm="instance",
+                activation="LeakyReLU", init_type="orthogonal")
+
+
+def test_packed_resgenerator_matches_unpacked(rs):
+    key = jax.random.PRNGKey(0)
+    f = jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    g_ref = define_g(**_dec_params(), pack_threshold=10**9)
+    g_pk = define_g(**_dec_params(), pack_threshold=16)
+    vs = g_ref.init(key, f, z=z, train=False)
+    ref = g_ref.apply(vs, f, z=z, train=False)
+    got = g_pk.apply(vs, f, z=z, train=False)
+    # includes the Output head's reflection-pad border correction
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_packed_fused_pool_matches_pool(rs):
+    key = jax.random.PRNGKey(0)
+    f = jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    g_ref = define_g(**_dec_params(), use_attn=False, pack_threshold=10**9)
+    g_pk = define_g(**_dec_params(), use_attn=False, pack_threshold=8)
+    vs = g_ref.init(key, f, z=z, train=False)
+    ref = adaptive_avg_pool2d(g_ref.apply(vs, f, z=z, train=False), (8, 8))
+    got = g_pk.apply(vs, f, z=z, train=False, fuse_pool=8)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_packed_gradients_match(rs):
+    key = jax.random.PRNGKey(0)
+    f = jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    g_ref = define_g(**_dec_params(), use_attn=False, pack_threshold=10**9)
+    g_pk = define_g(**_dec_params(), use_attn=False, pack_threshold=8)
+    vs = g_ref.init(key, f, z=z, train=False)
+
+    def loss(params, mod):
+        return jnp.sum(mod.apply({**vs, "params": params}, f, z=z,
+                                 train=False) ** 2)
+
+    g1 = jax.grad(loss)(vs["params"], g_ref)
+    g2 = jax.grad(loss)(vs["params"], g_pk)
+    # float-reassociation noise scales with the largest gradient flowing
+    # through the graph (conv biases feeding instance norm have ~0 gradient
+    # made of cancelling big terms, so per-leaf relative bounds are moot)
+    gmax = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, b, atol=3e-5 * gmax)
+
+
+def test_packed_output_reflection_border(rs):
+    """The border ring goes through the strip-correction path — compare the
+    packed Output head against the explicit reflect-pad conv."""
+    from face_mask_inpaint_tpu.nn.blocks import Output
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rs.randn(2, 16, 16, 8), jnp.float32)
+    mod = Output(output_nc=3, kernel_size=3, norm="none",
+                 activation="LeakyReLU", use_spect=True)
+    vs = mod.init(key, x, train=False)
+    ref = mod.apply(vs, x, train=False)
+    got = mod.apply(vs, P.space_to_depth(x, 4), train=False, pack_in=4)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    pooled = mod.apply(vs, P.space_to_depth(x, 4), train=False, pack_in=4,
+                       fuse_pool=True)
+    np.testing.assert_allclose(pooled, adaptive_avg_pool2d(ref, (4, 4)),
+                               atol=1e-5)
+
+
+def test_referencefill_flagship_shape_packed(rs):
+    """ReferenceFill with packing engaged end-to-end (threshold 16)."""
+    key = jax.random.PRNGKey(0)
+    enc = dict(type="pluralistic", ngf=8, z_nc=8, img_f=32, L=1, layers=3,
+               norm="none", activation="LeakyReLU", init_type="orthogonal")
+    dec = dict(_dec_params(), ngf=16, img_f=64)
+    m_ref = ReferenceFill(encoder_params=enc,
+                          decoder_params=dict(dec, pack_threshold=10**9),
+                          use_att=True, out_size=(16, 16))
+    m_pk = ReferenceFill(encoder_params=enc,
+                         decoder_params=dict(dec, pack_threshold=16),
+                         use_att=True, out_size=(16, 16))
+    src = jnp.asarray(rs.rand(2, 16, 16, 3), jnp.float32)
+    refi = jnp.asarray(rs.rand(2, 16, 16, 3), jnp.float32)
+    mask = jnp.asarray((rs.rand(2, 16, 16) > 0.5), jnp.float32)
+    mv = m_ref.init({"params": key, "sample": key}, src, refi, mask,
+                    train=False)
+    o_ref = m_ref.apply(mv, src, refi, mask, train=False, rngs={"sample": key})
+    o_pk = m_pk.apply(mv, src, refi, mask, train=False, rngs={"sample": key})
+    assert o_pk.shape == (2, 16, 16, 3)
+    np.testing.assert_allclose(o_pk, o_ref, atol=2e-5)
