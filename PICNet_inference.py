@@ -103,7 +103,7 @@ def load_mask_detector_vars(model, path, sample):
         conv = convert_unet(load_torch_state_dict(path))
         return jax.tree.map(jnp.asarray, conv)
     if Path(path).exists():
-        return ckpt.restore_state(path, variables)
+        return ckpt.restore_module_variables(path, variables)
     logging.warning('mask detector checkpoint %s not found; using random init', path)
     return variables
 
@@ -112,7 +112,7 @@ def load_generator_vars(model, path, init_args):
     variables = model.init({'params': jax.random.PRNGKey(0),
                             'sample': jax.random.PRNGKey(0)}, *init_args)
     if path and Path(path).exists() and not str(path).endswith(('.pth', '.pt')):
-        return ckpt.restore_state(path, variables)
+        return ckpt.restore_module_variables(path, variables)
     if path and str(path).endswith(('.pth', '.pt')) and Path(path).is_file():
         logging.info('Converting torch ReferenceFill checkpoint %s', path)
         from face_mask_inpaint_tpu.tools.convert_torch import (

@@ -5,6 +5,13 @@ num_workers=4, pin_memory) with a thread-pool prefetch pipeline: items are
 decoded/resized in threads (PIL releases the GIL for JPEG decode), stacked,
 then jax.device_put either to a single device or sharded over the data axis
 of a mesh — the TPU analogue of pinned-memory H2D overlap.
+
+Multi-host: on a multi-process runtime each host loads only its contiguous
+slice of every global batch (disjoint per-process index sets; the shuffle
+RNG is seed-identical across hosts so the global order agrees) and the
+global sharded array is assembled with
+``jax.make_array_from_process_local_data`` — batches ride the host's own
+DCN link, params all-reduce over ICI.
 """
 
 from __future__ import annotations
@@ -44,6 +51,8 @@ class DataLoader:
         seed: int = 0,
         sharding: Optional[jax.sharding.Sharding] = None,
         pad_last: bool = False,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,7 +63,25 @@ class DataLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self.pad_last = pad_last
+        # per-host input sharding; explicit values keep it unit-testable on a
+        # single-process CPU backend
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index)
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count)
+        if self.process_count > 1 and batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self.process_count} processes")
         self._rng = np.random.RandomState(seed)
+
+    def local_indices(self, chunk: Sequence[int]) -> list[int]:
+        """This host's contiguous slice of one global batch's indices."""
+        if self.process_count == 1:
+            return list(chunk)
+        local_bs = self.batch_size // self.process_count
+        lo = self.process_index * local_bs
+        return list(chunk[lo : lo + local_bs])
 
     def __len__(self):
         n = len(self.indices)
@@ -79,7 +106,15 @@ class DataLoader:
                 [1] * len(items) + [0] * pad, np.float32
             )
         if self.sharding is not None:
-            batch = {k: jax.device_put(v, self.sharding) for k, v in batch.items()}
+            if self.process_count > 1:
+                # local [batch/hosts, ...] slabs -> one global sharded array
+                batch = {
+                    k: jax.make_array_from_process_local_data(self.sharding, v)
+                    for k, v in batch.items()
+                }
+            else:
+                batch = {k: jax.device_put(v, self.sharding)
+                         for k, v in batch.items()}
         return batch
 
     def __iter__(self) -> Iterator[dict]:
@@ -89,9 +124,12 @@ class DataLoader:
         steps = []
         for i in range(0, len(order), self.batch_size):
             chunk = order[i : i + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
+            if len(chunk) < self.batch_size and (
+                self.drop_last or self.process_count > 1
+            ):
+                # partial global batches cannot split evenly across hosts
                 continue
-            steps.append(chunk)
+            steps.append(self.local_indices(chunk))
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)

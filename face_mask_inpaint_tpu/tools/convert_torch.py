@@ -33,6 +33,7 @@ __all__ = [
     "convert_unet",
     "convert_vgg16_features",
     "convert_lpips_alex",
+    "convert_lpips",
     "convert_irse_backbone",
     "convert_gradual_style_encoder",
     "convert_stylegan2_generator",
@@ -72,6 +73,14 @@ def conv_w(w: np.ndarray) -> np.ndarray:
 
 def convt_w(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+
+
+def linear_w_after_flatten(w: np.ndarray, c: int, h: int, ww: int) -> np.ndarray:
+    """torch Linear weight [out, c*h*w] applied after flattening an NCHW map
+    -> flax kernel [h*w*c, out] for the NHWC flatten order."""
+    out = w.shape[0]
+    return np.ascontiguousarray(
+        w.reshape(out, c, h, ww).transpose(2, 3, 1, 0).reshape(h * ww * c, out))
 
 
 def linear_w(w: np.ndarray) -> np.ndarray:
@@ -225,6 +234,54 @@ def convert_lpips_alex(alexnet_sd: dict, lin_sd: dict) -> dict:
     return params
 
 
+# LPIPS squeeze trunk: torchvision squeezenet1_1.features indices of the
+# Fire modules tapped by lpips/networks.py (squeeze has 7 taps/lin heads)
+_SQUEEZE_FIRE_IDX = {"fire3": 3, "fire4": 4, "fire6": 6, "fire7": 7,
+                     "fire9": 9, "fire10": 10, "fire11": 11, "fire12": 12}
+# LPIPS vgg trunk uses the full conv5 range (taps after relu{1_2..5_3})
+_VGG16_FULL_IDX = dict(_VGG_IDX, **{"conv5_1": 24, "conv5_2": 26,
+                                    "conv5_3": 28})
+_LPIPS_N_LINS = {"alex": 5, "vgg": 5, "squeeze": 7}
+
+
+def convert_lpips(trunk_sd: dict, lin_sd: dict, net_type: str = "alex") -> dict:
+    """torchvision trunk (alexnet / squeezenet1_1 / vgg16) + richzhang lin
+    weights -> LPIPSNet(net_type) params (reference lpips/networks.py:66-95
+    supports all three; lin key renames per lpips/utils.py:22-30)."""
+    params = {"trunk": {}}
+    if net_type == "alex":
+        for name, idx in _ALEX_IDX.items():
+            params["trunk"][name] = {
+                "kernel": conv_w(trunk_sd[f"features.{idx}.weight"]),
+                "bias": trunk_sd[f"features.{idx}.bias"],
+            }
+    elif net_type == "vgg":
+        for name, idx in _VGG16_FULL_IDX.items():
+            params["trunk"][name] = {
+                "kernel": conv_w(trunk_sd[f"features.{idx}.weight"]),
+                "bias": trunk_sd[f"features.{idx}.bias"],
+            }
+    elif net_type == "squeeze":
+        params["trunk"]["conv1"] = {
+            "kernel": conv_w(trunk_sd["features.0.weight"]),
+            "bias": trunk_sd["features.0.bias"],
+        }
+        for name, idx in _SQUEEZE_FIRE_IDX.items():
+            params["trunk"][name] = {
+                sub: {
+                    "kernel": conv_w(trunk_sd[f"features.{idx}.{sub}.weight"]),
+                    "bias": trunk_sd[f"features.{idx}.{sub}.bias"],
+                }
+                for sub in ("squeeze", "expand1x1", "expand3x3")
+            }
+    else:
+        raise NotImplementedError(net_type)
+    for i in range(_LPIPS_N_LINS[net_type]):
+        key = f"{i}.1.weight" if f"{i}.1.weight" in lin_sd else f"{i}.weight"
+        params[f"lin{i}"] = {"kernel": conv_w(lin_sd[key])}
+    return params
+
+
 # ---------------------------------------------------------------------------
 # IR-SE-50 (ArcFace / pSp encoder backbone)
 # ---------------------------------------------------------------------------
@@ -252,7 +309,10 @@ def _irse_trunk(sd, n_units=24):
     input_layer = {
         "conv": plain_conv(sd, "input_layer.0"),
         "bn": {"bn": bn(sd, "input_layer.1")},
-        "prelu": {"alpha": sd["input_layer.3.weight"]},
+        # reference input_layer = Sequential(Conv2d, BatchNorm2d, PReLU):
+        # the PReLU is index 2 (model_irse.py:20-21, psp_encoders.py:51-53)
+        "prelu": {"alpha": sd.get("input_layer.2.weight",
+                                  sd.get("input_layer.3.weight"))},
     }
     body = {f"body_{i}": _irse_unit(sd, f"body.{i}") for i in range(n_units)}
     return input_layer, body
@@ -266,7 +326,10 @@ def convert_irse_backbone(sd: dict, input_size: int = 112) -> dict:
         "body": body,
         "out_bn": {"bn": bn(sd, "output_layer.0")},
         "out_linear": {
-            "kernel": linear_w(sd["output_layer.3.weight"]),
+            # torch flattens NCHW (c,h,w); the flax Backbone flattens NHWC
+            "kernel": linear_w_after_flatten(
+                sd["output_layer.3.weight"], 512,
+                input_size // 16, input_size // 16),
             "bias": sd["output_layer.3.bias"],
         },
     }

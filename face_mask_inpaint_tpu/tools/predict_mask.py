@@ -64,7 +64,7 @@ def main():
             variables = jax.tree.map(
                 jnp.asarray, convert_unet(load_torch_state_dict(args.model)))
         else:
-            variables = ckpt.restore_state(args.model, variables)
+            variables = ckpt.restore_module_variables(args.model, variables)
         logging.info("Model loaded from %s", args.model)
     else:
         logging.warning("checkpoint %s not found; using random init", args.model)

@@ -20,7 +20,13 @@ from typing import Any, Optional
 import jax
 import orbax.checkpoint as ocp
 
-__all__ = ["save_state", "restore_state", "latest_epoch", "checkpoint_dir"]
+__all__ = [
+    "save_state",
+    "restore_state",
+    "latest_epoch",
+    "checkpoint_dir",
+    "restore_module_variables",
+]
 
 
 def checkpoint_dir(checkpoint_path, run_name: str) -> Path:
@@ -44,6 +50,50 @@ def restore_state(path, target: Optional[Any] = None) -> Any:
         if target is not None:
             return ckptr.restore(Path(path).absolute(), target)
         return ckptr.restore(Path(path).absolute())
+
+
+def restore_module_variables(path, variables: dict) -> dict:
+    """Load a checkpoint's module weights onto a flax ``variables`` dict.
+
+    Accepts any of the layouts this repo has written: a raw variables dict
+    (inference-era saves), a full-train-state dict with a ``model`` entry (the
+    trainers' resumable checkpoints), or a (ModuleState, opt_state) pair
+    (round-1 GAN saves). Tensors are merged by flattened key + shape
+    (strict=False semantics, PICNet_inference.py:155 in the reference).
+    """
+    import flax.traverse_util as tu
+    import jax.numpy as jnp
+
+    raw = restore_state(path)
+    node = raw
+    # trainer layouts: {'model': ..., 'opt': ...} or {'state': {'model': ...}}
+    for key in ("state", "model"):
+        if isinstance(node, dict) and key in node:
+            node = node[key]
+    if isinstance(node, (list, tuple)):
+        node = node[0]
+    # a ModuleState restored without target is a dict of its fields
+    if isinstance(node, dict) and "extra" in node and "params" in node:
+        flat_node = {}
+        for coll in ("params", "spectral", "batch_stats"):
+            if node.get(coll):
+                flat_node[coll] = node[coll]
+        for k, v in (node.get("extra") or {}).items():
+            flat_node[k] = v
+        node = flat_node
+    if not isinstance(node, dict) or "params" not in node:
+        raise ValueError(f"unrecognized checkpoint layout at {path}")
+
+    flat = tu.flatten_dict(variables)
+    merged = 0
+    for k, v in tu.flatten_dict(node).items():
+        arr = jnp.asarray(v)
+        if k in flat and flat[k].shape == arr.shape:
+            flat[k] = arr.astype(flat[k].dtype)
+            merged += 1
+    if merged == 0:
+        raise ValueError(f"checkpoint at {path} matched no tensors")
+    return tu.unflatten_dict(flat)
 
 
 def latest_epoch(base_dir, tag: str) -> Optional[int]:

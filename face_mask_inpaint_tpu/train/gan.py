@@ -90,8 +90,14 @@ def make_gan_train_step(
     vgg_params,
     lambda_g: float = 0.01,
     gan_mode: str = "lsgan",
+    return_grads: bool = False,
 ) -> Callable[[GANTrainState, dict], tuple[GANTrainState, dict]]:
-    """Build the jittable (state, batch) -> (state, metrics) GAN step."""
+    """Build the jittable (state, batch) -> (state, metrics) GAN step.
+
+    return_grads additionally returns the raw G/D gradient trees in the
+    metrics dict ('g_grads'/'d_grads') — the trainers use a second jit of
+    this on eval steps to log gradient histograms, matching the reference's
+    wandb.Histogram(value.grad) (train_reference_fill.py:372-379)."""
 
     def step(state: GANTrainState, batch: dict):
         rng, sample_rng = jax.random.split(state.rng)
@@ -148,6 +154,9 @@ def make_gan_train_step(
             "l1_loss": aux["loss_l1_g"],
             "adv_loss": aux["loss_ad_g"],
         }
+        if return_grads:
+            metrics["g_grads"] = g_grads
+            metrics["d_grads"] = d_grads
         new_state = state.replace(
             step=state.step + 1,
             generator=new_g,

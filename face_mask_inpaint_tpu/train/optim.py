@@ -19,12 +19,115 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["adam", "ranger", "plateau_scheduler"]
+__all__ = [
+    "adam",
+    "ranger",
+    "plateau_scheduler",
+    "adam_injected",
+    "ranger_injected",
+    "set_learning_rate",
+    "PlateauTracker",
+]
 
 
 def adam(learning_rate) -> optax.GradientTransformation:
     """torch.optim.Adam defaults (train_reference_fill.py:309-312)."""
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def adam_injected(learning_rate) -> optax.GradientTransformation:
+    """Adam with the learning rate held in the optimizer state
+    (optax.inject_hyperparams), so a host-side plateau tracker can change it
+    between steps without recompiling — the functional analog of torch's
+    ReduceLROnPlateau mutating optimizer.param_groups."""
+    return optax.inject_hyperparams(adam)(learning_rate=learning_rate)
+
+
+def ranger_injected(learning_rate) -> optax.GradientTransformation:
+    """Ranger with an injected (state-carried) learning rate."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: ranger(learning_rate=learning_rate)
+    )(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr):
+    """Return an inject_hyperparams opt state with a new learning rate.
+
+    Unwraps optax.multi_transform / masked wrappers (the pSp trainer's
+    encoder-only partitioning) to find the InjectHyperparamsState."""
+    import jax.numpy as _jnp
+
+    if hasattr(opt_state, "inner_states"):  # multi_transform
+        inner = opt_state.inner_states["train"]
+        return opt_state._replace(
+            inner_states={**opt_state.inner_states,
+                          "train": set_learning_rate(inner, lr)})
+    if hasattr(opt_state, "inner_state") and not hasattr(opt_state, "hyperparams"):
+        return opt_state._replace(
+            inner_state=set_learning_rate(opt_state.inner_state, lr))
+    cur = opt_state.hyperparams["learning_rate"]
+    return opt_state._replace(
+        hyperparams={**opt_state.hyperparams,
+                     "learning_rate": _jnp.asarray(lr, cur.dtype)}
+    )
+
+
+class PlateauTracker:
+    """Host-side torch.optim.lr_scheduler.ReduceLROnPlateau.
+
+    The trainers call ``step(metric)`` once per validation round (as the
+    reference does, train_reference_fill.py:403-404) and write the returned
+    lr into the optimizer state via set_learning_rate. Matches torch
+    semantics: threshold_mode='rel', cooldown=0, min_lr=0; the reference uses
+    mode='max', patience=2, factor=0.8 (train_reference_fill.py:310-319).
+    """
+
+    def __init__(self, base_lr: float, mode: str = "min", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4):
+        assert mode in ("min", "max")
+        self.lr = float(base_lr)
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.best: Optional[float] = None
+        self.num_bad = 0
+
+    def _is_better(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric > self.best * (1.0 + self.threshold)
+
+    def step(self, metric: float) -> float:
+        metric = float(metric)
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.lr *= self.factor
+            self.num_bad = 0
+        return self.lr
+
+    def state_dict(self) -> dict:
+        import numpy as _np
+
+        return {
+            "lr": _np.float64(self.lr),
+            "best": _np.float64(self.best if self.best is not None else _np.nan),
+            "num_bad": _np.int64(self.num_bad),
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        import numpy as _np
+
+        self.lr = float(d["lr"])
+        best = float(d["best"])
+        self.best = None if _np.isnan(best) else best
+        self.num_bad = int(d["num_bad"])
 
 
 class RangerState(NamedTuple):

@@ -54,6 +54,7 @@ def make_psp_train_step(
     nets: dict,
     use_ref: bool = True,
     randomize_noise: bool = True,
+    return_grads: bool = False,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
     def step(state: TrainState, batch: dict):
         rng, noise_rng = jax.random.split(state.rng)
@@ -103,6 +104,10 @@ def make_psp_train_step(
         )
         loss_dict = dict(loss_dict)
         loss_dict["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        if return_grads:
+            # reference logs weight AND grad histograms at eval steps
+            # (train_psp.py:352-359); the trainer jits this variant for those.
+            loss_dict["grads"] = grads
         return new_state, loss_dict
 
     return step

@@ -89,7 +89,7 @@ def load_psp_vars(model, args, init_args, init_kwargs):
         logging.info('Merged %d/%d tensors from torch ckpt', merged, len(flat))
         return tu.unflatten_dict(flat)
     if path and Path(path).exists():
-        return ckpt.restore_state(path, variables)
+        return ckpt.restore_module_variables(path, variables)
     logging.warning('pSp checkpoint %s not found; using random init', path)
     return variables
 

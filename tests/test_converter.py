@@ -175,7 +175,8 @@ def test_irse_converter_structure():
 
     add_conv("input_layer.0", 3, 64, 3)
     add_bn("input_layer.1", 64)
-    sd["input_layer.3.weight"] = np.full(64, 0.25, np.float32)
+    # PReLU at Sequential index 2 (model_irse.py:20-21)
+    sd["input_layer.2.weight"] = np.full(64, 0.25, np.float32)
 
     from face_mask_inpaint_tpu.models.irse import get_blocks
     for i, spec in enumerate([s for b in get_blocks(50) for s in b]):

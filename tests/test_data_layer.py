@@ -123,3 +123,40 @@ def test_loader_pad_last(fixture_tree):
     last = list(loader)[-1]
     assert last["image"].shape[0] == 4
     assert "_valid" in last
+
+
+def test_multihost_loader_disjoint_slices(fixture_tree):
+    """Per-process input sharding: each simulated host loads a disjoint
+    contiguous slice of every global batch; slices concatenate to the
+    single-process batch (loader multi-host path)."""
+    ds = ReferenceDataset(
+        fixture_tree["src_dir"], fixture_tree["ref_dir"], fixture_tree["mask_dir"],
+        fixture_tree["identity_file"], apply_transform=False, return_id=True,
+    )
+    n = len(ds)
+    bs = 4
+    make = lambda pi, pc: DataLoader(
+        ds, bs, shuffle=True, seed=7, num_workers=2,
+        process_index=pi, process_count=pc)
+    global_batches = [b["id"].ravel().tolist() for b in make(0, 1)
+                      if len(b["id"]) == bs]  # pc>1 drops partial batches
+    h0 = [b["id"].ravel().tolist() for b in make(0, 2)]
+    h1 = [b["id"].ravel().tolist() for b in make(1, 2)]
+    assert len(h0) == len(h1) == len(global_batches)
+    for g, a, b in zip(global_batches, h0, h1):
+        assert a + b == g          # contiguous halves, same global order
+        assert not set(a) & set(b)  # disjoint per-host index sets
+
+
+def test_multihost_loader_batch_divisibility():
+    ds = [{"x": np.zeros(2, np.float32)}] * 8
+
+    class _DS:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            return ds[i]
+
+    with pytest.raises(ValueError):
+        DataLoader(_DS(), 3, process_index=0, process_count=2)

@@ -31,14 +31,16 @@ from face_mask_inpaint_tpu.losses.vgg import VGG16Features
 from face_mask_inpaint_tpu.models.psp import PSP
 from face_mask_inpaint_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
 from face_mask_inpaint_tpu.train import checkpoint as ckpt
-from face_mask_inpaint_tpu.train.optim import adam, ranger
+from face_mask_inpaint_tpu.train.optim import (
+    PlateauTracker, adam_injected, ranger_injected, set_learning_rate)
 from face_mask_inpaint_tpu.train.psp import (
     make_psp_eval_step,
     make_psp_train_step,
     partitioned_tx,
 )
 from face_mask_inpaint_tpu.train.state import ModuleState, TrainState
-from face_mask_inpaint_tpu.utils.metrics_logger import MetricsLogger
+from face_mask_inpaint_tpu.utils.metrics_logger import (
+    MetricsLogger, histogram_summary)
 
 
 def get_args():
@@ -100,6 +102,9 @@ def get_args():
     parser.add_argument('--lpips_lin_weights', default='', type=str)
     parser.add_argument('--vgg_weights', default='', type=str)
     parser.add_argument('--use_wandb', type=int, default=0)
+    parser.add_argument('--resume', type=int, default=0,
+                        help='resume from the latest checkpoint under '
+                             '<checkpoint_path>/<run_name> (full state)')
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -239,18 +244,42 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
         start_from_latent_avg=args.start_from_latent_avg)
     nets = build_loss_nets(args, cfg, sample['gt_img'][:1])
 
-    base_tx = (ranger(args.learning_rate) if args.optimizer == 'ranger'
-               else adam(args.learning_rate))
+    base_tx = (ranger_injected(args.learning_rate) if args.optimizer == 'ranger'
+               else adam_injected(args.learning_rate))
     mstate = ModuleState.from_variables(variables)
     tx = partitioned_tx(base_tx, mstate.params, args.train_decoder)
     state = TrainState(step=jnp.zeros([], jnp.int32), model=mstate,
                        opt_state=tx.init(mstate.params), rng=key)
+
+    # ReduceLROnPlateau parity (reference train_psp.py:294-298, stepped on the
+    # val loss at :382 — mode='max', patience=2, factor=0.8).
+    sched = PlateauTracker(args.learning_rate, mode='max', patience=2, factor=0.8)
+
+    start_epoch = 0
+    if args.resume:
+        last = ckpt.latest_epoch(run_dir, 'G')
+        if last is None:
+            logging.warning('--resume set but no checkpoint under %s; '
+                            'starting fresh', run_dir)
+        else:
+            target = {'state': state, 'sched': sched.state_dict()}
+            restored = ckpt.restore_state(
+                run_dir / f'G_checkpoint_epoch{last}', jax.device_get(target))
+            state = restored['state']
+            sched.load_state_dict(restored['sched'])
+            start_epoch = last
+            logging.info('Resumed from epoch %d (step %d, lr=%g)',
+                         last, int(state.step), sched.lr)
+
     state = replicate_tree(state, mesh)
     nets = replicate_tree(nets, mesh)
 
     train_step = jax.jit(make_psp_train_step(
         model, tx, cfg, nets, use_ref=args.use_ref,
         randomize_noise=args.randomize_noise))
+    train_step_grads = jax.jit(make_psp_train_step(
+        model, tx, cfg, nets, use_ref=args.use_ref,
+        randomize_noise=args.randomize_noise, return_grads=True))
     eval_step = jax.jit(make_psp_eval_step(model, cfg, nets, use_ref=args.use_ref))
 
     eval_options = set(args.eval_options)
@@ -273,21 +302,40 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
             n += 1
         return {k: v / max(n, 1) for k, v in metrics.items()}
 
-    global_step = 0
+    global_step = int(state.step)
     division_step = max(n_train // (10 * batch_size), 1)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         for batch in train_loader:
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
-            state, metrics = train_step(state, b)
+            is_eval_step = (global_step + 1) % division_step == 0
+            if is_eval_step:
+                state, metrics = train_step_grads(state, b)
+                grads = metrics.pop('grads')
+            else:
+                state, metrics = train_step(state, b)
             global_step += 1
             logger.log({k: float(v) for k, v in metrics.items()} | {'epoch': epoch},
                        step=global_step)
-            if global_step % division_step == 0:
+            if is_eval_step:
+                # weight+grad histograms excluding the style MLP, as the
+                # reference does (train_psp.py:352-359 skips 'decoder.style')
+                def drop_style(tree):
+                    dec = dict(tree.get('decoder', {}))
+                    dec.pop('style', None)
+                    return {**tree, 'decoder': dec}
+                host_params = jax.device_get(state.model.params)
+                hists = histogram_summary(drop_style(host_params), 'Weights')
+                hists.update(histogram_summary(
+                    drop_style(jax.device_get(grads)), 'Gradients'))
                 val_metrics = evaluate(state, jax.random.PRNGKey(global_step))
+                state = state.replace(opt_state=set_learning_rate(
+                    state.opt_state, sched.step(val_metrics['validation loss'])))
+                val_metrics['lr'] = sched.lr
                 logging.info('Validation: %s', val_metrics)
-                logger.log(val_metrics, step=global_step)
-        ckpt.save_state(run_dir, 'G', epoch + 1, jax.device_get(state))
+                logger.log({**val_metrics, **hists}, step=global_step)
+        ckpt.save_state(run_dir, 'G', epoch + 1, {
+            'state': jax.device_get(state), 'sched': sched.state_dict()})
         logging.info('Checkpoint epoch %d saved under %s', epoch + 1, run_dir)
     logger.close()
     return state

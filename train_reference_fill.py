@@ -39,7 +39,8 @@ from face_mask_inpaint_tpu.models.unet import MaskDetector
 from face_mask_inpaint_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_tree
 from face_mask_inpaint_tpu.train import checkpoint as ckpt
 from face_mask_inpaint_tpu.train.gan import make_gan_eval_step, make_gan_train_step
-from face_mask_inpaint_tpu.train.optim import adam
+from face_mask_inpaint_tpu.train.optim import (
+    PlateauTracker, adam_injected, set_learning_rate)
 from face_mask_inpaint_tpu.train.state import GANTrainState, ModuleState
 from face_mask_inpaint_tpu.utils.metrics_logger import MetricsLogger, histogram_summary
 
@@ -100,6 +101,13 @@ def get_args():
                         help='torchvision vgg16 .pth for the VGG losses')
     parser.add_argument('--use_wandb', type=int, default=0)
     parser.add_argument('--out_size', type=int, default=256)
+    parser.add_argument('--resume', type=int, default=0,
+                        help='resume from the latest checkpoint under '
+                             '<checkpoint_path>/<run_name> (full state: '
+                             'params, optimizers, scheduler, step, rng)')
+    parser.add_argument('--inception_weights', type=str, default='',
+                        help='torchvision inception_v3 .pth for the fid '
+                             'eval option (random features + warning if unset)')
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -212,8 +220,8 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
     d_vars = discriminator.init(key, sample['gt_img'])
     vgg_params = load_vgg_params(args.vgg_weights, sample['gt_img'])
 
-    g_tx = adam(args.learning_rate)
-    d_tx = adam(args.learning_rate)
+    g_tx = adam_injected(args.learning_rate)
+    d_tx = adam_injected(args.learning_rate)
     g_state = ModuleState.from_variables(g_vars)
     d_state = ModuleState.from_variables(d_vars)
     state = GANTrainState(
@@ -221,19 +229,70 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
         discriminator=d_state, g_opt_state=g_tx.init(g_state.params),
         d_opt_state=d_tx.init(d_state.params), rng=key)
     g_state, d_state = load_networks(g_state, d_state, args.pt_ckpt_path)
+
+    # ReduceLROnPlateau parity (reference train_reference_fill.py:310-319,
+    # stepped on the val losses at :403-404 — mode='max', as the reference
+    # quirkily uses on a loss).
+    sched_g = PlateauTracker(args.learning_rate, mode='max', patience=2, factor=0.8)
+    sched_d = PlateauTracker(args.learning_rate, mode='max', patience=2, factor=0.8)
+
+    start_epoch = 0
+    if args.resume:
+        last = ckpt.latest_epoch(run_dir, 'G')
+        if last is None:
+            logging.warning('--resume set but no checkpoint under %s; '
+                            'starting fresh', run_dir)
+        else:
+            target_g = {'model': state.generator, 'opt': state.g_opt_state,
+                        'step': state.step, 'rng': state.rng,
+                        'sched': sched_g.state_dict()}
+            target_d = {'model': state.discriminator, 'opt': state.d_opt_state,
+                        'sched': sched_d.state_dict()}
+            g_ck = ckpt.restore_state(
+                run_dir / f'G_checkpoint_epoch{last}', jax.device_get(target_g))
+            d_ck = ckpt.restore_state(
+                run_dir / f'D_checkpoint_epoch{last}', jax.device_get(target_d))
+            state = state.replace(
+                step=jnp.asarray(g_ck['step']), generator=g_ck['model'],
+                discriminator=d_ck['model'], g_opt_state=g_ck['opt'],
+                d_opt_state=d_ck['opt'], rng=jnp.asarray(g_ck['rng']))
+            sched_g.load_state_dict(g_ck['sched'])
+            sched_d.load_state_dict(d_ck['sched'])
+            start_epoch = last
+            logging.info('Resumed from epoch %d (step %d, lr G=%g D=%g)',
+                         last, int(state.step), sched_g.lr, sched_d.lr)
+
     state = replicate_tree(state, mesh)
     vgg_params = replicate_tree(vgg_params, mesh)
 
     train_step = jax.jit(make_gan_train_step(
         generator, discriminator, g_tx, d_tx, vgg_params))
+    train_step_grads = jax.jit(make_gan_train_step(
+        generator, discriminator, g_tx, d_tx, vgg_params, return_grads=True))
     eval_step = jax.jit(make_gan_eval_step(generator, discriminator, vgg_params))
 
     eval_options = set(args.eval_options)
+    inception_vars = None
+    if 'fid' in eval_options:
+        from face_mask_inpaint_tpu.evaluations.fid import InceptionV3Features
+        if args.inception_weights and Path(args.inception_weights).is_file():
+            from face_mask_inpaint_tpu.tools.convert_torch import (
+                convert_inception_v3, load_torch_state_dict)
+            inception_vars = {
+                k: jax.tree.map(jnp.asarray, v) for k, v in
+                convert_inception_v3(
+                    load_torch_state_dict(args.inception_weights)).items()}
+        else:
+            logging.warning('fid eval uses a randomly initialized InceptionV3 '
+                            '(--inception_weights unset); values are relative only')
+            inception_vars = jax.jit(InceptionV3Features().init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
 
     def evaluate(st, step_key):
         metrics = {'D validation loss': 0.0, 'G validation loss': 0.0}
         n = 0
         sample_imgs = None
+        gt_acts, gen_acts = [], []
         for batch in val_loader:
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
@@ -250,20 +309,39 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
                 metrics['ms_ssim'] = metrics.get('ms_ssim', 0.0) + float(
                     ms_ssim_fn(gt, gen))
             if 'fid' in eval_options:
-                # the reference's in-training FID call is broken (argument
-                # misorder, train_reference_fill.py:237-239); dataset-level
-                # FID lives in test_evaluate.py / evaluations/fid.py.
-                pass
+                # the reference *intends* per-eval FID of gt vs gen at 299²
+                # (train_reference_fill.py:237-239, broken by an argument
+                # misorder there); computed correctly here: activations
+                # accumulate over the whole val round, ONE Fréchet distance.
+                from face_mask_inpaint_tpu.evaluations.fid import get_activations
+                from face_mask_inpaint_tpu.ops.resize import scale_img
+                bsz = gen.shape[0]
+                gt_acts.append(get_activations(
+                    np.asarray(scale_img(gt, (299, 299))), bsz, inception_vars))
+                gen_acts.append(get_activations(
+                    np.asarray(jnp.clip(scale_img(gen, (299, 299)), 0.0, 1.0)),
+                    bsz, inception_vars))
             n += 1
-        return {k: v / max(n, 1) for k, v in metrics.items()}, sample_imgs
+        metrics = {k: v / max(n, 1) for k, v in metrics.items()}
+        if 'fid' in eval_options and gt_acts:
+            from face_mask_inpaint_tpu.evaluations.fid import (
+                calculate_frechet_distance, statistics_from_activations)
+            mu1, s1 = statistics_from_activations(np.concatenate(gt_acts))
+            mu2, s2 = statistics_from_activations(np.concatenate(gen_acts))
+            metrics['fid'] = calculate_frechet_distance(mu1, s1, mu2, s2)
+        return metrics, sample_imgs
 
-    global_step = 0
+    global_step = int(state.step)
     division_step = max(n_train // (10 * batch_size), 1)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         for batch in train_loader:
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
-            state, metrics = train_step(state, b)
+            is_eval_step = (global_step + 1) % division_step == 0
+            if is_eval_step:
+                state, metrics = train_step_grads(state, b)
+            else:
+                state, metrics = train_step(state, b)
             global_step += 1
             logger.log({
                 'D loss': float(metrics['D_loss']),
@@ -274,23 +352,41 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
                 'epoch': epoch,
             }, step=global_step)
 
-            if global_step % division_step == 0:
+            if is_eval_step:
                 host_state = jax.device_get(state)
                 hists = histogram_summary(host_state.generator.params, 'Weights/G')
                 hists.update(histogram_summary(
                     host_state.discriminator.params, 'Weights/D'))
+                hists.update(histogram_summary(
+                    jax.device_get(metrics['g_grads']), 'Gradients/G'))
+                hists.update(histogram_summary(
+                    jax.device_get(metrics['d_grads']), 'Gradients/D'))
                 val_metrics, sample_imgs = evaluate(
                     state, jax.random.PRNGKey(global_step))
+                # reference steps both plateau schedulers on the val losses
+                # (train_reference_fill.py:403-404)
+                state = state.replace(
+                    d_opt_state=set_learning_rate(
+                        state.d_opt_state,
+                        sched_d.step(val_metrics['D validation loss'])),
+                    g_opt_state=set_learning_rate(
+                        state.g_opt_state,
+                        sched_g.step(val_metrics['G validation loss'])))
+                val_metrics['lr G'] = sched_g.lr
+                val_metrics['lr D'] = sched_d.lr
                 logging.info('Validation: %s', val_metrics)
                 logger.log({**val_metrics, **hists}, step=global_step)
                 if sample_imgs is not None:
                     logger.log_image('gen', sample_imgs[0], step=global_step)
                     logger.log_image('gt', sample_imgs[1], step=global_step)
 
-        ckpt.save_state(run_dir, 'G', epoch + 1, jax.device_get(
-            (state.generator, state.g_opt_state)))
-        ckpt.save_state(run_dir, 'D', epoch + 1, jax.device_get(
-            (state.discriminator, state.d_opt_state)))
+        host = jax.device_get(state)
+        ckpt.save_state(run_dir, 'G', epoch + 1, {
+            'model': host.generator, 'opt': host.g_opt_state,
+            'step': host.step, 'rng': host.rng, 'sched': sched_g.state_dict()})
+        ckpt.save_state(run_dir, 'D', epoch + 1, {
+            'model': host.discriminator, 'opt': host.d_opt_state,
+            'sched': sched_d.state_dict()})
         logging.info('Checkpoint epoch %d saved under %s', epoch + 1, run_dir)
     logger.close()
     return state
