@@ -75,6 +75,8 @@ def get_args():
     parser.add_argument('--old_model', type=int, default=0)
     # TPU-rebuild extra: the reference hard-codes 256; data size must match
     parser.add_argument('--out_size', type=int, default=256)
+    from face_mask_inpaint_tpu.utils.profiling import add_profile_args
+    add_profile_args(parser)
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -180,8 +182,11 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
 
     eval_results = []
+    from face_mask_inpaint_tpu.utils.profiling import ProfileWindow
+    profiler = ProfileWindow(args.profile_dir, args.profile_steps)
     rng = jax.random.PRNGKey(0)
-    for batch in test_loader:
+    for step_i, batch in enumerate(test_loader):
+        profiler.tick(step_i)
         rng, step_rng = jax.random.split(rng)
         valid = batch.get('_valid')
         gen, src_mask = infer_batch(jnp.asarray(batch['src_img']),
@@ -203,6 +208,7 @@ def main():
                 mask2im(mask_np[i]).save(out_dir / f'mask_{ids[i]}.jpg')
 
     eval_results = np.array(eval_results).mean(0)
+    profiler.close()
     df = pd.DataFrame({'ssim': [eval_results[0]], 'ms_ssim': [eval_results[1]]})
     print(df)
     df.to_csv(out_dir / 'metrics.csv', index=False)

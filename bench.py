@@ -1,21 +1,26 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness.
 
-Primary metric (BASELINE.json): CelebA-HQ 256² inpaint images/sec/chip on the
-flagship reference-guided PICNet path (mask detector -> ReferenceFill with
-example-guided attention + the decoder's 128²-token self-attention), bf16
-compute.
+Default: prints ONE JSON line — the primary BASELINE metric (CelebA-HQ 256²
+reference-guided inpaint images/sec/chip on the flagship PICNet path: mask
+detector -> ReferenceFill with example-guided attention, bf16 compute).
+
+BENCH_ALL=1: additionally runs the other four BASELINE.md configs (UNet
+forward CPU bs=1; PICNet no-attention inference at img_scale 0.25; pSp
+encoder + StyleGAN2 1024² inference; full GAN training step) and prints one
+JSON line per config, mirroring them into BENCH_DETAIL.json.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 denominator is the driver's stated target — 5x an estimated A100 torch
-throughput for this model (ESTIMATED_A100_IMGS_PER_SEC below: ~210 GFLOPs/img
-forward plus the 137 GFLOP/img f32 Auto_Attn map at the measured-in-practice
-~30% utilization of eager torch convnets on A100 ≈ 440 imgs/s).
-vs_baseline = measured / (5 * estimate); >= 1.0 means the 5x target is met.
+throughput for the flagship model (~210 GFLOPs/img forward + the 137
+GFLOP/img f32 Auto_Attn map at the ~30% utilization typical of eager torch
+convnets on A100 ≈ 440 imgs/s). vs_baseline = measured / (5 * 440).
 
-Environment knobs: BENCH_BS (batch, default 16), BENCH_STEPS (default 20),
-BENCH_SWEEP=1 to sweep batch sizes (each size costs a ~2 min XLA compile
-through this box's remote-compile relay, so the default is a single size).
+Measurement notes: every loop CHAINS the model output back into the next
+input (x -> f(x)) — this box's remote-execution relay memoizes identical
+(executable, input-buffer) pairs, so same-args loops can read ~0 ms for
+small programs (ROUND1_NOTES item 4). Env knobs: BENCH_BS, BENCH_STEPS,
+BENCH_SWEEP=1 (batch sweep; each size pays a fresh XLA compile).
 """
 
 import json
@@ -31,51 +36,202 @@ ESTIMATED_A100_IMGS_PER_SEC = 440.0
 TARGET_MULTIPLIER = 5.0
 
 
-def bench_flagship(batch_size: int, steps: int = 20, warmup: int = 3,
-                   dtype=jnp.bfloat16):
+def _chain_time(step, x0, steps, warmup=3):
+    """step: pytree -> same-structure pytree. Returns secs/step."""
+    x = step(x0)
+    jax.block_until_ready(x)
+    for _ in range(warmup):
+        x = step(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = step(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / steps
+
+
+def _flagship_models(dtype):
     from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
     from face_mask_inpaint_tpu.models.unet import MaskDetector
+
+    enc = dict(type="pluralistic", ngf=32, z_nc=128, img_f=128, L=6, layers=5,
+               norm="none", activation="LeakyReLU", init_type="orthogonal")
+    dec = dict(ngf=32, z_nc=128, img_f=256, L=0, layers=5, norm="instance",
+               activation="LeakyReLU", init_type="orthogonal")
+    model = ReferenceFill(encoder_params=enc, decoder_params=dec, use_att=True,
+                          out_size=(256, 256), dtype=dtype)
+    return model, MaskDetector(dtype=dtype)
+
+
+def bench_flagship(batch_size: int, steps: int = 20, dtype=jnp.bfloat16):
+    """Config 3: reference-guided PICNet inference at 256² (the primary)."""
+    from face_mask_inpaint_tpu.models.unet import MaskDetector
+
+    hw = 256
+    model, detector = _flagship_models(dtype)
+    key = jax.random.PRNGKey(0)
+    src = jnp.asarray(np.random.RandomState(0).rand(batch_size, hw, hw, 3),
+                      jnp.float32)
+    ref = jnp.asarray(np.random.RandomState(1).rand(batch_size, hw, hw, 3),
+                      jnp.float32)
+    # jitted inits: eager init dispatches hundreds of ops through the remote
+    # relay (minutes); jitted it is one program.
+    md_vars = jax.jit(detector.init)(key, src)
+    g_vars = jax.jit(
+        lambda k, s, r, m: model.init(
+            {"params": k, "sample": k}, s, r, m, train=False)
+    )(key, src, ref, jnp.zeros((batch_size, hw, hw), jnp.float32))
+
+    @jax.jit
+    def step(src_img):
+        m = detector.apply(md_vars, src_img, method=MaskDetector.predict_mask)
+        out = model.apply(g_vars, src_img, ref, m, train=False,
+                          rngs={"sample": jax.random.PRNGKey(0)})
+        # chain: next source = this output, rescaled into [0, 1]
+        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+    dt = _chain_time(step, src, steps)
+    return batch_size / dt
+
+
+def bench_unet_forward(steps: int = 20):
+    """Config 1: UNet mask-detector forward, CPU, batch 1."""
+    from face_mask_inpaint_tpu.models.unet import MaskDetector
+
+    cpu = jax.devices("cpu")[0]
+    det = MaskDetector()
+    x = jax.device_put(
+        np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32), cpu)
+    with jax.default_device(cpu):
+        vs = jax.jit(det.init)(jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def step(img):
+            m = det.apply(vs, img, method=MaskDetector.predict_mask)
+            return img * 0.999 + m[..., None] * 1e-3
+
+        dt = _chain_time(step, x, steps)
+    return 1.0 / dt
+
+
+def bench_picnet_noatt(batch_size: int, steps: int = 20, dtype=jnp.bfloat16):
+    """Config 2: PICNet inference, no reference attention, img_scale 0.25
+    (CelebA aligned 218x178 -> 54x44, PICNet_inference.py defaults)."""
+    from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
+
+    h, w = 54, 44
+    enc = dict(type="pluralistic", ngf=32, z_nc=128, img_f=128, L=6, layers=5,
+               norm="none", activation="LeakyReLU", init_type="orthogonal")
+    dec = dict(ngf=32, z_nc=128, img_f=128, L=0, layers=5, norm="instance",
+               activation="LeakyReLU", init_type="orthogonal")
+    model = ReferenceFill(encoder_params=enc, decoder_params=dec,
+                          use_att=False, out_size=(256, 256), dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    src = jnp.asarray(rs.rand(batch_size, h, w, 3), jnp.float32)
+    ref = jnp.asarray(rs.rand(batch_size, h, w, 3), jnp.float32)
+    mask = jnp.asarray((rs.rand(batch_size, h, w) > 0.5), jnp.float32)
+    g_vars = jax.jit(lambda k, s, r, m: model.init(
+        {"params": k, "sample": k}, s, r, m, train=False))(key, src, ref, mask)
+
+    @jax.jit
+    def step(src_img):
+        out = model.apply(g_vars, src_img, ref, mask, train=False,
+                          rngs={"sample": jax.random.PRNGKey(0)})
+        from face_mask_inpaint_tpu.ops.resize import scale_img
+
+        return jnp.clip(scale_img(out, (h, w)) * 0.5 + 0.5, 0.0, 1.0)
+
+    dt = _chain_time(step, src, steps)
+    return batch_size / dt
+
+
+def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
+    """Config 4: pSp encoder + StyleGAN2 1024² inference (--use_ref
+    --use_attention 1), mask detector included (psp_inference.py:88-109).
+    Encoder and decoder jit as two programs (remote-compile budget,
+    ROUND1_NOTES item 6)."""
+    from face_mask_inpaint_tpu.models.psp import PSP
+    from face_mask_inpaint_tpu.models.unet import MaskDetector
+
+    hw = 256
+    model = PSP(output_size=1024, use_attention=True, dtype=dtype)
+    det = MaskDetector(dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    src = jnp.asarray(rs.rand(batch_size, hw, hw, 3) * 2 - 1, jnp.float32)
+    ref = jnp.asarray(rs.rand(batch_size, hw, hw, 3) * 2 - 1, jnp.float32)
+    md_vars = jax.jit(det.init)(key, (src + 1) / 2)
+    vs = jax.jit(lambda k, a, b, m: model.init(
+        {"params": k, "noise": k}, a, ref=b, src_mask=m, train=False))(
+        key, src, ref, jnp.zeros((batch_size, hw, hw), jnp.float32))
+
+    enc = jax.jit(lambda a, b, m: model.apply(
+        vs, a, ref=b, src_mask=m, train=False, method=PSP.encode))
+    dec = jax.jit(lambda c: model.apply(
+        vs, c, randomize_noise=False, method=PSP.decode))
+
+    def step(src_img):
+        m = det.apply(md_vars, (src_img + 1) / 2,
+                      method=MaskDetector.predict_mask)
+        out = dec(enc(src_img, ref, m))
+        return jnp.clip(out, -1.0, 1.0)
+
+    md_step = jax.jit(step)  # noqa: F841 — detector fwd folds into enc jit
+    dt = _chain_time(step, src, steps)
+    return batch_size / dt
+
+
+def bench_gan_train(batch_size: int, steps: int = 10, dtype=jnp.float32):
+    """Config 5: full GAN training step (G+D fwd/bwd, both optimizers, VGG
+    losses) at 256²; the state chains so every step really executes."""
+    del dtype
+    from face_mask_inpaint_tpu.losses.vgg import VGG16Features
+    from face_mask_inpaint_tpu.models.picnet import define_d
+    from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
+    from face_mask_inpaint_tpu.train.gan import make_gan_train_step
+    from face_mask_inpaint_tpu.train.optim import adam
+    from face_mask_inpaint_tpu.train.state import GANTrainState, ModuleState
 
     hw = 256
     enc = dict(type="pluralistic", ngf=32, z_nc=128, img_f=128, L=6, layers=5,
                norm="none", activation="LeakyReLU", init_type="orthogonal")
     dec = dict(ngf=32, z_nc=128, img_f=256, L=0, layers=5, norm="instance",
                activation="LeakyReLU", init_type="orthogonal")
-    model = ReferenceFill(encoder_params=enc, decoder_params=dec, use_att=True,
-                          out_size=(hw, hw), dtype=dtype)
-    detector = MaskDetector(dtype=dtype)
-
+    generator = ReferenceFill(encoder_params=enc, decoder_params=dec,
+                              use_att=True, out_size=(hw, hw))
+    discriminator = define_d(ndf=32, img_f=128, layers=5,
+                             init_type="orthogonal")
     key = jax.random.PRNGKey(0)
-    src = jnp.asarray(np.random.RandomState(0).rand(batch_size, hw, hw, 3),
-                      jnp.float32)
-    ref = jnp.asarray(np.random.RandomState(1).rand(batch_size, hw, hw, 3),
-                      jnp.float32)
-    mask0 = jnp.zeros((batch_size, hw, hw), jnp.float32)
-    # jit the inits: eager init dispatches hundreds of single ops through the
-    # device (minutes on a remote-compile TPU); jitted it is one program.
-    md_vars = jax.jit(detector.init)(key, src)
-    g_vars = jax.jit(
-        lambda k, s, r, m: model.init(
-            {"params": k, "sample": k}, s, r, m, train=False)
-    )(key, src, ref, mask0)
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_img": jnp.asarray(rs.rand(batch_size, hw, hw, 3), jnp.float32),
+        "gt_img": jnp.asarray(rs.rand(batch_size, hw, hw, 3), jnp.float32),
+        "ref_img": jnp.asarray(rs.rand(batch_size, hw, hw, 3), jnp.float32),
+        "mask": jnp.asarray((rs.rand(batch_size, hw, hw) > 0.5), jnp.float32),
+    }
+    g_vars = jax.jit(lambda k, s, r, m: generator.init(
+        {"params": k, "sample": k}, s, r, m))(
+        key, batch["src_img"], batch["ref_img"], batch["mask"])
+    d_vars = jax.jit(discriminator.init)(key, batch["gt_img"])
+    vgg_params = jax.jit(lambda k, x: VGG16Features().init(k, x)["params"])(
+        key, batch["gt_img"])
+    g_tx, d_tx = adam(1e-4), adam(1e-4)
+    g_state = ModuleState.from_variables(g_vars)
+    d_state = ModuleState.from_variables(d_vars)
+    state = GANTrainState(
+        step=jnp.zeros([], jnp.int32), generator=g_state,
+        discriminator=d_state, g_opt_state=g_tx.init(g_state.params),
+        d_opt_state=d_tx.init(d_state.params), rng=key)
+    train_step = jax.jit(make_gan_train_step(
+        generator, discriminator, g_tx, d_tx, vgg_params))
 
-    @jax.jit
-    def infer(src_img, ref_img):
-        m = detector.apply(md_vars, src_img, method=MaskDetector.predict_mask)
-        return model.apply(g_vars, src_img, ref_img, m, train=False,
-                           rngs={"sample": jax.random.PRNGKey(0)})
+    def step(st):
+        new_state, _ = train_step(st, batch)
+        return new_state
 
-    infer(src, ref).block_until_ready()
-    for _ in range(warmup):
-        infer(src, ref).block_until_ready()
-
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(steps):
-        out = infer(src, ref)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    dt = _chain_time(step, state, steps, warmup=2)
+    return batch_size / dt
 
 
 def main():
@@ -95,13 +251,34 @@ def main():
         elif len(sizes) > 1:
             break
     target = ESTIMATED_A100_IMGS_PER_SEC * TARGET_MULTIPLIER
-    print(json.dumps({
+    primary = {
         "metric": "celebahq256_refguided_inpaint_inference",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / target, 4),
         "batch_size": best_bs,
-    }))
+    }
+    print(json.dumps(primary))
+
+    if os.environ.get("BENCH_ALL") != "1":
+        return
+    detail = [primary]
+    for name, fn, bs in (
+        ("unet_mask_detector_forward_cpu_bs1", lambda b: bench_unet_forward(steps), 1),
+        ("picnet_noatt_inference_scale0.25", bench_picnet_noatt, 64),
+        ("psp_stylegan2_1024_inference", bench_psp, 4),
+        ("gan_train_step_256", bench_gan_train, 8),
+    ):
+        try:
+            ips = fn(bs)
+            detail.append({"metric": name, "value": round(ips, 2),
+                           "unit": "images/sec/chip", "batch_size": bs})
+        except Exception as e:  # record the failure, keep the suite going
+            detail.append({"metric": name, "error": f"{type(e).__name__}: {e}"[:300]})
+        print(json.dumps(detail[-1]))
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
 
 
 if __name__ == "__main__":

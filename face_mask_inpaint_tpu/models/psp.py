@@ -125,6 +125,42 @@ class PSP(nn.Module):
             return images, result_latent
         return images
 
+    def encode(
+        self,
+        x: jax.Array,
+        ref: Optional[jax.Array] = None,
+        src_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        """Encoder half only: image(s) -> [N, n_styles, 512] w+ codes
+        (+ latent_avg offset). Lets serving/benchmarks jit the encoder and
+        decoder as two programs — the single fused graph exceeds some
+        remote-compile budgets (ROUND1_NOTES item 6)."""
+        codes = self.encoder(x, ref=ref, mask=src_mask, train=train)
+        if self.start_from_latent_avg:
+            avg = self.latent_avg.value.astype(codes.dtype)
+            if self.learn_in_w:
+                codes = codes + avg[0][None, :]
+            else:
+                codes = codes + avg[None, :, :]
+        return codes
+
+    def decode(
+        self,
+        codes: jax.Array,
+        resize: bool = True,
+        randomize_noise: bool = True,
+    ) -> jax.Array:
+        """Decoder half: w+ codes -> image (adaptive-pooled to 256 when
+        resize, psp.py:113-114)."""
+        images, _ = self.decoder(
+            [codes], input_is_latent=True, randomize_noise=randomize_noise,
+            return_latents=False,
+        )
+        if resize:
+            images = adaptive_avg_pool2d(images, (256, 256))
+        return images
+
     def compute_latent_avg(self, rng: jax.Array, n_latent: int = 100_000):
         """decoder.mean_latent (train_psp.py:133-134); returns [1 or n_styles, 512]."""
         avg = self.decoder.mean_latent(rng, n_latent)  # [1, 512]

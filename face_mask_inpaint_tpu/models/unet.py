@@ -32,9 +32,13 @@ class DoubleConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = True, concat_with=None) -> jax.Array:
+        """concat_with: second input semantically concatenated on channels
+        (the UNet skip) — executed as summed convs so the concat never
+        materializes in a conv-hostile layout (saves a full-map copy)."""
         mid = self.out_channels if self.mid_channels is None else self.mid_channels
-        x = Conv2d(mid, 3, padding=1, dtype=self.dtype, name="conv1")(x)
+        x = Conv2d(mid, 3, padding=1, dtype=self.dtype, name="conv1")(
+            x, concat_with=concat_with)
         x = BatchNorm2d(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
         x = jax.nn.relu(x)
         x = Conv2d(self.out_channels, 3, padding=1, dtype=self.dtype, name="conv2")(x)
@@ -84,9 +88,9 @@ class Up(nn.Module):
                 x1,
                 ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
             )
-        x = jnp.concatenate([x2, x1], axis=-1)
+        # conv(concat([x2, x1])) as two summed convs — no materialized concat
         return DoubleConv(self.out_channels, mid, dtype=self.dtype, name="conv")(
-            x, train=train
+            x2, train=train, concat_with=x1
         )
 
 

@@ -182,14 +182,25 @@ class Conv2d(nn.Module, _SpectralMixin):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, pack: int = 1) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, pack: int = 1,
+        concat_with: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """pack > 1 runs the SAME conv (same params) on a space-to-depth
         packed input (ops/packed.py): a 'same' stride-1 conv at the original
-        resolution, executed on the MXU-friendly packed layout."""
+        resolution, executed on the MXU-friendly packed layout.
+
+        concat_with: semantically conv(concat([x, concat_with], -1)) but
+        computed as two convs summed — skip-connection concats (UNet Up)
+        otherwise materialize in a layout the following conv cannot use,
+        costing a full copy of the map."""
         ks = self.kernel_size
         if isinstance(ks, int):
             ks = (ks, ks)
         in_ch = x.shape[-1] // (pack * pack)
+        if concat_with is not None:
+            assert pack == 1 and self.groups == 1
+            in_ch += concat_with.shape[-1]
         w = self.param(
             "kernel", self.kernel_init, (*ks, in_ch // self.groups, self.features)
         )
@@ -202,12 +213,23 @@ class Conv2d(nn.Module, _SpectralMixin):
         )
         if pack > 1:
             assert (self.stride, self.dilation, self.groups) == (1, 1, 1), (
-                "packed conv supports stride/dilation/groups == 1 only")
+                "packed conv supports stride/dilation/groups only == 1")
             from face_mask_inpaint_tpu.ops.packed import packed_conv3x3
 
             return packed_conv3x3(
                 x.astype(self.dtype), w.astype(self.dtype),
                 b.astype(self.dtype) if b is not None else None, pack)
+        if concat_with is not None:
+            c1 = x.shape[-1]
+            wd = w.astype(self.dtype)
+            y = conv2d(x.astype(self.dtype), wd[:, :, :c1], None,
+                       stride=self.stride, padding=self.padding,
+                       dilation=self.dilation)
+            y = y + conv2d(concat_with.astype(self.dtype), wd[:, :, c1:],
+                           b.astype(self.dtype) if b is not None else None,
+                           stride=self.stride, padding=self.padding,
+                           dilation=self.dilation)
+            return y
         return conv2d(
             x.astype(self.dtype),
             w.astype(self.dtype),
@@ -383,10 +405,14 @@ class InstanceNorm2d(nn.Module):
             )
             return fn(x, scale, bias, self.fuse_act, self.act_slope, self.epsilon)
 
-        # stats in f32: bf16 accumulation over ~1M-pixel maps loses precision
+        # stats in f32: bf16 accumulation over ~1M-pixel maps loses precision.
+        # E[x^2]-mu^2 instead of jnp.var: both reductions fuse into ONE read
+        # of the map (jnp.var depends on the mean and forces a second pass —
+        # measured 2x elementwise traffic on the 256^2 decoder stages).
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        sq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
         y = ((x32 - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         if self.affine:
             c = x.shape[-1]

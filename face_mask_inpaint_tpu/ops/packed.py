@@ -172,7 +172,9 @@ def packed_instance_norm_act(x, scale, bias, r: int, act: str = "LeakyReLU",
     xv = x.reshape(n, hp, wp, r * r, c)
     x32 = xv.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+    # one-pass stats (see nn/layers.py InstanceNorm2d)
+    sq = jnp.mean(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)

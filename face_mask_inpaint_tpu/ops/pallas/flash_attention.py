@@ -10,9 +10,12 @@ tensors (ExampleGuidedAttention reuses the map for src and ref features,
 example_guided_att.py:31-32).
 
 Semantics: out_j[i] = sum_k softmax_k(q_i . q_k) v_j[k] — no 1/sqrt(d)
-scale, matching the reference. Forward-only: the training-time maps are
-<= 64² tokens and use the materialized path; autodiff falls back to the
-XLA formulation via custom_vjp.
+scale, matching the reference. The backward is fused Pallas too (round 2):
+the forward additionally writes the per-row logsumexp, and two kernels
+recompute P = exp(S - lse) blockwise to form dV_j = P^T dO_j,
+dS = P * (sum_j dO_j V_j^T - D), dQ = dS K, dK = dS^T Q, with the q == k
+self-attention tying dq = dQ + dK (cost center: the [N,HW,HW] map of
+base_function.py:429-436 under the GAN training step).
 """
 
 from __future__ import annotations
@@ -27,7 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention"]
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk, tk, lk):
+def _interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, nk, tk, lk):
     """Grid (N, nq, nk); one shared map, V may stack several value tensors
     along the channel axis (they share the softmax)."""
     ki = pl.program_id(2)
@@ -65,9 +73,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, nk, tk, lk):
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
 
 
-def _forward(q, values, tq, tk):
+def _forward(q, values, tq, tk, with_lse=False):
     n, l, d = q.shape
     v = jnp.concatenate(values, axis=-1) if len(values) > 1 else values[0]
     c_total = v.shape[-1]
@@ -80,9 +89,8 @@ def _forward(q, values, tq, tk):
     kp = jnp.pad(q, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else q
     vp = jnp.pad(v, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else v
 
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
-    out = pl.pallas_call(
-        functools.partial(_kernel, nk=nk, tk=tk, lk=l),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, nk=nk, tk=tk, lk=l),
         grid=(n, nq, nk),
         in_specs=[
             pl.BlockSpec((1, tq, d), lambda b, qi, ki: (b, qi, 0),
@@ -92,25 +100,190 @@ def _forward(q, values, tq, tk):
             pl.BlockSpec((1, tk, c_total), lambda b, qi, ki: (b, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, c_total), lambda b, qi, ki: (b, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, nq * tq, c_total), v.dtype),
+        out_specs=[
+            pl.BlockSpec((1, tq, c_total), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nq * tq, c_total), v.dtype),
+            jax.ShapeDtypeStruct((n, nq * tq, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((tq, 1), jnp.float32),
             pltpu.VMEM((tq, 1), jnp.float32),
             pltpu.VMEM((tq, c_total), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=_interpret(),
     )(qp, kp, vp)
     out = out[:, :l, :]
     if len(values) == 1:
-        return [out]
-    splits = []
-    off = 0
-    for vv in values:
-        splits.append(out[..., off : off + vv.shape[-1]])
-        off += vv.shape[-1]
-    return splits
+        outs = [out]
+    else:
+        outs, off = [], 0
+        for vv in values:
+            outs.append(out[..., off : off + vv.shape[-1]])
+            off += vv.shape[-1]
+    if with_lse:
+        return outs, lse[:, :l, :]
+    return outs
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref,
+               acc_scr, *, nk, tk, lk):
+    """Grid (N, nq, nk): dq[qblk] = sum_k  P*(dO V^T - D) @ K."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    pad = nk * tk - lk
+    if pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * tk
+        s = jnp.where(col < lk, s, -jnp.inf)
+    p = jnp.exp(s - lse_ref[0])  # exact probabilities (exp(-inf) = 0 on pads)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [tq, tk]
+    ds = p * (dp - dsum_ref[0])
+    acc_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = acc_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, nq, tq, lq):
+    """Grid (N, nk, nq): dv[kblk] = P^T dO;  dk[kblk] = dS^T Q."""
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [tq, d]
+    k = k_ref[0]  # [tk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    pad = nq * tq - lq
+    if pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * tq
+        s = jnp.where(row < lq, s, -jnp.inf)
+        p = jnp.where(row < lq, jnp.exp(s - lse_ref[0]), 0.0)
+    else:
+        p = jnp.exp(s - lse_ref[0])  # [tq, tk]
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [tk, c]
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [tq, tk]
+    ds = p * (dp - dsum_ref[0])
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [tk, d]
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
+    """q: [N, L, d]; v/outs/do: [N, L, C_total]; lse: [N, L, 1].
+
+    Returns (dq_total = dQ + dK for the tied q == k, dV_cat)."""
+    n, l, d = q.shape
+    c_total = v.shape[-1]
+    nq = -(-l // tq)
+    nk = -(-l // tk)
+    lq_pad = nq * tq - l
+    lk_pad = nk * tk - l
+
+    # D_i = sum_jc dO_jc O_jc — tiny elementwise reduction, XLA-side
+    dsum = jnp.sum(do_cat.astype(jnp.float32) * outs_cat.astype(jnp.float32),
+                   axis=-1, keepdims=True)
+
+    qp = jnp.pad(q, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else q
+    kp = jnp.pad(q, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else q
+    vp = jnp.pad(v, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else v
+    dop = jnp.pad(do_cat, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else do_cat
+    # padded-row lse stays finite to keep exp() well-defined; the row mask in
+    # the dkv kernel (and the zero dO rows in dq) kill their contributions
+    lsep = (jnp.pad(lse, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else lse)
+    dsump = jnp.pad(dsum, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else dsum
+
+    interpret = _interpret()
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, nk=nk, tk=tk, lk=l),
+        grid=(n, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, c_total), lambda b, qi, ki: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, c_total), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda b, qi, ki: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda b, qi, ki: (b, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nq * tq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dsump)[:, :l]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, nq=nq, tq=tq, lq=l),
+        grid=(n, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, ki, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, ki, qi: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, c_total), lambda b, ki, qi: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, c_total), lambda b, ki, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda b, ki, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 1), lambda b, ki, qi: (b, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tk, d), lambda b, ki, qi: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, c_total), lambda b, ki, qi: (b, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, nk * tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, nk * tk, c_total), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, d), jnp.float32),
+            pltpu.VMEM((tk, c_total), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, dsump)
+    dk = dk[:, :l]
+    dv = dv[:, :l]
+    return (dq + dk).astype(q.dtype), dv
 
 
 def flash_attention(
@@ -121,26 +294,30 @@ def flash_attention(
 ):
     """out_j = softmax(q q^T) @ v_j with the map computed once in VMEM.
 
-    q: [N, L, D]; values: list of [N, L, C_j]. Forward-only fast path —
-    gradients route through the XLA streaming formulation.
-    """
-    from face_mask_inpaint_tpu.ops.attention import blockwise_attention
+    q: [N, L, D]; values: list of [N, L, C_j]. Fully fused forward AND
+    backward (dq/dk/dv Pallas kernels; the q == k tie sums both roles)."""
 
     @jax.custom_vjp
     def _op(q, vs):
         return tuple(_forward(q, list(vs), tq, tk))
 
     def _fwd(q, vs):
-        return _op(q, vs), (q, vs)
+        outs, lse = _forward(q, list(vs), tq, tk, with_lse=True)
+        return tuple(outs), (q, vs, tuple(outs), lse)
 
     def _bwd(res, g):
-        q, vs = res
-        # differentiate the (numerically identical) XLA formulation
-        def ref(q, vs):
-            return tuple(blockwise_attention(q, q, list(vs)))
-
-        _, vjp = jax.vjp(ref, q, vs)
-        return vjp(g)
+        q, vs, outs, lse = res
+        v_cat = jnp.concatenate(list(vs), axis=-1) if len(vs) > 1 else vs[0]
+        o_cat = jnp.concatenate(list(outs), axis=-1) if len(outs) > 1 else outs[0]
+        do_cat = (jnp.concatenate([x.astype(v_cat.dtype) for x in g], axis=-1)
+                  if len(g) > 1 else g[0].astype(v_cat.dtype))
+        dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, tq, tk)
+        dvs, off = [], 0
+        for vv in vs:
+            c = vv.shape[-1]
+            dvs.append(dv_cat[..., off : off + c].astype(vv.dtype))
+            off += c
+        return dq, tuple(dvs)
 
     _op.defvjp(_fwd, _bwd)
     return list(_op(q, tuple(values)))

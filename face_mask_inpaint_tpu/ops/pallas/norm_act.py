@@ -46,7 +46,10 @@ def instance_norm_act_reference(x, scale, bias, act="LeakyReLU", slope=0.1,
     also the backward path."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    # one-pass stats: both reductions fuse into a single read (see
+    # nn/layers.py InstanceNorm2d)
+    sq = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)

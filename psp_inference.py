@@ -60,6 +60,8 @@ def get_args():
                         help='whether to randomize noise in stylegan')
     parser.add_argument('--stylegan_weights', default=None, type=str,
                         help='Path to StyleGAN model weights')
+    from face_mask_inpaint_tpu.utils.profiling import add_profile_args
+    add_profile_args(parser)
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -137,8 +139,11 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
 
     eval_results = []
+    from face_mask_inpaint_tpu.utils.profiling import ProfileWindow
+    profiler = ProfileWindow(args.profile_dir, args.profile_steps)
     rng = jax.random.PRNGKey(0)
-    for batch in test_loader:
+    for step_i, batch in enumerate(test_loader):
+        profiler.tick(step_i)
         rng, step_rng = jax.random.split(rng)
         valid = batch.get('_valid')
         gen, src_mask = infer_batch(jnp.asarray(batch['src_img']),
@@ -159,6 +164,7 @@ def main():
                 mask2im(mask_np[i]).save(out_dir / f'mask_{ids[i]}.jpg')
 
     eval_results = np.array(eval_results).mean(0)
+    profiler.close()
     df = pd.DataFrame({'ssim': [eval_results[0]], 'ms_ssim': [eval_results[1]]})
     print(df)
     df.to_csv(out_dir / 'metrics.csv', index=False)

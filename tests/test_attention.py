@@ -74,3 +74,28 @@ def test_flash_attention_matches_blockwise():
     g2 = jax.grad(loss_r, argnums=(0, 1))(q, v1)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4)
+
+
+def test_flash_attention_multivalue_grads_match():
+    """Shared-map multi-value backward (dq sums the q and k roles; each dV_j
+    comes through the one recomputed P)."""
+    from face_mask_inpaint_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(2, 200, 8).astype(np.float32)) * 2
+    v1 = jnp.asarray(rng.randn(2, 200, 24).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(2, 200, 16).astype(np.float32))
+
+    def loss_f(q, v1, v2):
+        a, b = flash_attention(q, [v1, v2], tq=64, tk=128)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.abs(b))
+
+    def loss_r(q, v1, v2):
+        a, b = blockwise_attention(q, q, [v1, v2], block_size=64)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.abs(b))
+
+    g1 = jax.grad(loss_f, argnums=(0, 1, 2))(q, v1, v2)
+    g2 = jax.grad(loss_r, argnums=(0, 1, 2))(q, v1, v2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)

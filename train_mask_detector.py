@@ -57,6 +57,8 @@ def get_args():
                         help="Use mixed precision (bf16 compute on TPU)")
     parser.add_argument("--threshold", "-t", type=float, default=0.5,
                         help="Threshold for deciding mask")
+    from face_mask_inpaint_tpu.utils.profiling import add_profile_args
+    add_profile_args(parser)
     # TPU-rebuild extras (the reference hard-codes these paths)
     parser.add_argument("--dir_img", type=str, default=str(DIR_IMG))
     parser.add_argument("--dir_mask", type=str, default=str(DIR_MASK))
@@ -115,6 +117,9 @@ def train_net(net, args, epochs, batch_size, learning_rate, val_percent,
         scores = [float(eval_step(st, b)["dice"]) for b in val_loader]
         return float(np.mean(scores)) if scores else 0.0
 
+    from face_mask_inpaint_tpu.utils.profiling import ProfileWindow
+    profiler = ProfileWindow(args.profile_dir, args.profile_steps)
+
     global_step = 0
     # plateau tracking ('max' mode, patience=2) — drives LR scale by rebuild
     best, patience_left, lr_scale = -1.0, 2, 1.0
@@ -122,6 +127,7 @@ def train_net(net, args, epochs, batch_size, learning_rate, val_percent,
         for epoch in range(epochs):
             epoch_loss = 0.0
             for batch in train_loader:
+                profiler.tick(global_step)
                 batch = {"image": batch["image"],
                          "mask": (np.asarray(batch["mask"]) > 0).astype(np.int32)}
                 state, metrics = train_step(state, batch)
@@ -153,6 +159,7 @@ def train_net(net, args, epochs, batch_size, learning_rate, val_percent,
         logging.info("Saved interrupt")
         sys.exit(0)
     finally:
+        profiler.close()
         logger.close()
     return state
 

@@ -105,6 +105,8 @@ def get_args():
     parser.add_argument('--resume', type=int, default=0,
                         help='resume from the latest checkpoint under '
                              '<checkpoint_path>/<run_name> (full state)')
+    from face_mask_inpaint_tpu.utils.profiling import add_profile_args
+    add_profile_args(parser)
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -302,10 +304,14 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
             n += 1
         return {k: v / max(n, 1) for k, v in metrics.items()}
 
+    from face_mask_inpaint_tpu.utils.profiling import ProfileWindow
+    profiler = ProfileWindow(args.profile_dir, args.profile_steps)
+
     global_step = int(state.step)
     division_step = max(n_train // (10 * batch_size), 1)
     for epoch in range(start_epoch, args.epochs):
         for batch in train_loader:
+            profiler.tick(global_step)
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
             is_eval_step = (global_step + 1) % division_step == 0
@@ -337,6 +343,7 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
         ckpt.save_state(run_dir, 'G', epoch + 1, {
             'state': jax.device_get(state), 'sched': sched.state_dict()})
         logging.info('Checkpoint epoch %d saved under %s', epoch + 1, run_dir)
+    profiler.close()
     logger.close()
     return state
 

@@ -108,6 +108,8 @@ def get_args():
     parser.add_argument('--inception_weights', type=str, default='',
                         help='torchvision inception_v3 .pth for the fid '
                              'eval option (random features + warning if unset)')
+    from face_mask_inpaint_tpu.utils.profiling import add_profile_args
+    add_profile_args(parser)
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -331,10 +333,14 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
             metrics['fid'] = calculate_frechet_distance(mu1, s1, mu2, s2)
         return metrics, sample_imgs
 
+    from face_mask_inpaint_tpu.utils.profiling import ProfileWindow
+    profiler = ProfileWindow(args.profile_dir, args.profile_steps)
+
     global_step = int(state.step)
     division_step = max(n_train // (10 * batch_size), 1)
     for epoch in range(start_epoch, args.epochs):
         for batch in train_loader:
+            profiler.tick(global_step)
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
             is_eval_step = (global_step + 1) % division_step == 0
@@ -388,6 +394,7 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
             'model': host.discriminator, 'opt': host.d_opt_state,
             'sched': sched_d.state_dict()})
         logging.info('Checkpoint epoch %d saved under %s', epoch + 1, run_dir)
+    profiler.close()
     logger.close()
     return state
 
