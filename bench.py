@@ -166,18 +166,20 @@ def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
         {"params": k, "noise": k}, a, ref=b, src_mask=m, train=False))(
         key, src, ref, jnp.zeros((batch_size, hw, hw), jnp.float32))
 
+    # THREE separate jits (detector / encoder / decoder): each compiles in
+    # tens of seconds, but fusing the UNet into the encoder graph (or the
+    # whole pipeline) stalls this box's remote compiler for >10 min
+    # (ROUND2_NOTES) — the same program jits in seconds on local XLA.
+    mdf = jax.jit(lambda s: det.apply(
+        md_vars, (s + 1) / 2, method=MaskDetector.predict_mask))
     enc = jax.jit(lambda a, b, m: model.apply(
         vs, a, ref=b, src_mask=m, train=False, method=PSP.encode))
-    dec = jax.jit(lambda c: model.apply(
-        vs, c, randomize_noise=False, method=PSP.decode))
+    dec = jax.jit(lambda c: jnp.clip(model.apply(
+        vs, c, randomize_noise=False, method=PSP.decode), -1.0, 1.0))
 
     def step(src_img):
-        m = det.apply(md_vars, (src_img + 1) / 2,
-                      method=MaskDetector.predict_mask)
-        out = dec(enc(src_img, ref, m))
-        return jnp.clip(out, -1.0, 1.0)
+        return dec(enc(src_img, ref, mdf(src_img)))
 
-    md_step = jax.jit(step)  # noqa: F841 — detector fwd folds into enc jit
     dt = _chain_time(step, src, steps)
     return batch_size / dt
 
@@ -234,8 +236,19 @@ def bench_gan_train(batch_size: int, steps: int = 10, dtype=jnp.float32):
     return batch_size / dt
 
 
-def main():
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+_MODES = {
+    "unet": ("unet_mask_detector_forward_cpu_bs1",
+             lambda bs, steps: bench_unet_forward(steps), 1),
+    "picnet_noatt": ("picnet_noatt_inference_scale0.25",
+                     lambda bs, steps: bench_picnet_noatt(bs, steps), 64),
+    "psp": ("psp_stylegan2_1024_inference",
+            lambda bs, steps: bench_psp(bs, steps), 4),
+    "gan_train": ("gan_train_step_256",
+                  lambda bs, steps: bench_gan_train(bs, steps), 8),
+}
+
+
+def _run_flagship(steps):
     if os.environ.get("BENCH_SWEEP") == "1":
         sizes = (8, 16, 32)
     else:
@@ -251,32 +264,53 @@ def main():
         elif len(sizes) > 1:
             break
     target = ESTIMATED_A100_IMGS_PER_SEC * TARGET_MULTIPLIER
-    primary = {
+    return {
         "metric": "celebahq256_refguided_inpaint_inference",
         "value": round(best, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / target, 4),
         "batch_size": best_bs,
     }
-    print(json.dumps(primary))
+
+
+def main():
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    mode = os.environ.get("BENCH_MODE", "flagship")
+    if mode != "flagship":
+        name, fn, bs = _MODES[mode]
+        bs = int(os.environ.get("BENCH_BS", bs))
+        ips = fn(bs, steps)
+        print(json.dumps({"metric": name, "value": round(ips, 2),
+                          "unit": "images/sec/chip", "batch_size": bs}))
+        return
+
+    primary = _run_flagship(steps)
+    print(json.dumps(primary), flush=True)
 
     if os.environ.get("BENCH_ALL") != "1":
         return
+    # each secondary config runs in a FRESH subprocess: the remote compile
+    # helpers are a per-process budget and a long-lived process with many
+    # big programs can hang further compiles (ROUND1_NOTES item 6)
+    import subprocess
+    import sys
+
     detail = [primary]
-    for name, fn, bs in (
-        ("unet_mask_detector_forward_cpu_bs1", lambda b: bench_unet_forward(steps), 1),
-        ("picnet_noatt_inference_scale0.25", bench_picnet_noatt, 64),
-        ("psp_stylegan2_1024_inference", bench_psp, 4),
-        ("gan_train_step_256", bench_gan_train, 8),
-    ):
+    for mode_name in ("unet", "picnet_noatt", "psp", "gan_train"):
+        env = {**os.environ, "BENCH_MODE": mode_name, "BENCH_ALL": "0"}
+        env.pop("BENCH_BS", None)
         try:
-            ips = fn(bs)
-            detail.append({"metric": name, "value": round(ips, 2),
-                           "unit": "images/sec/chip", "batch_size": bs})
-        except Exception as e:  # record the failure, keep the suite going
-            detail.append({"metric": name, "error": f"{type(e).__name__}: {e}"[:300]})
-        print(json.dumps(detail[-1]))
-    with open(os.path.join(os.path.dirname(__file__) or ".",
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=1800)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            detail.append(json.loads(line))
+        except Exception as e:
+            detail.append({"metric": _MODES[mode_name][0],
+                           "error": f"{type(e).__name__}: {e}"[:300]})
+        print(json.dumps(detail[-1]), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
