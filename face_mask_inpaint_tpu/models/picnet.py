@@ -233,10 +233,22 @@ class ResGenerator(nn.Module):
             pack_out = r > 1 or (
                 packable and min(h_next, w_next) > self.pack_threshold
             )
+            # The Output head on the last layer leads with an activation
+            # (base_function.py:378) — fuse it into the decoder block's
+            # epilogue so the full-resolution tensor is written pre-activated
+            # exactly once (skipped ahead of the i==1 AutoAttention, which
+            # needs the raw map).
+            fuse_act = (
+                self.activation
+                if (i == self.layers - 1 and not (i == 1 and self.use_attn)
+                    and self.activation in ("LeakyReLU", "ReLU"))
+                else None
+            )
             out = ResBlockDecoder(
                 output_nc=ch, hidden_nc=ch, norm=self.norm,
                 name=f"decoder{i}", **kw,
-            )(out, train=train, pack_in=r, pack_output=pack_out)
+            )(out, train=train, pack_in=r, pack_output=pack_out,
+              fuse_act=fuse_act)
             if pack_out:
                 r *= 2
             if i == 1 and self.use_attn:
@@ -255,7 +267,9 @@ class ResGenerator(nn.Module):
                     activation=self.activation, use_spect=self.use_spect,
                     use_coord=self.use_coord, kernel_init=self.kernel_init,
                     dtype=self.dtype, name=f"out{i}",
-                )(out, train=train, pack_in=r, fuse_pool=fuse_pool == r and r > 1)
+                )(out, train=train, pack_in=r,
+                  fuse_pool=fuse_pool == r and r > 1,
+                  pre_activated=fuse_act is not None and i == self.layers - 1)
                 if i < self.layers - 1:
                     # the reference also concatenates after the LAST layer
                     # (network.py:272) where the result is never consumed —

@@ -142,6 +142,11 @@ class MaskDetector(nn.Module):
         return jax.nn.softmax(logits, axis=-1) > self.threshold
 
     def predict_mask(self, image: jax.Array) -> jax.Array:
-        """argmax path used by every inference harness: [N, H, W] float mask."""
+        """argmax path used by every inference harness: [N, H, W] float mask.
+
+        With exactly two classes, argmax(logits) == (logits[1] > logits[0])
+        including the tie (both pick class 0) — the comparison avoids XLA's
+        iota+reduce argmax lowering (~0.5 ms/step at bs16 256² on v5e).
+        """
         logits = self(image, mode="train", train=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.float32)
+        return (logits[..., 1] > logits[..., 0]).astype(jnp.float32)

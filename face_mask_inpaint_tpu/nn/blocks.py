@@ -26,6 +26,7 @@ from face_mask_inpaint_tpu.nn.layers import (
     make_norm,
 )
 from face_mask_inpaint_tpu.ops.conv import pixel_shuffle
+from face_mask_inpaint_tpu.ops.pallas.packed_convt import use_packed_convt_kernel
 from face_mask_inpaint_tpu.ops.resize import avg_pool2d, reflection_pad2d
 
 
@@ -98,7 +99,8 @@ class CoordConvWrap(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, pack: int = 1) -> jax.Array:
+    def __call__(self, x: jax.Array, pack: int = 1,
+                 fuse_avgpool2: bool = False) -> jax.Array:
         if self.use_coord:
             assert pack == 1, "CoordConv is incompatible with packed execution"
             x = add_coords(x, self.with_r)
@@ -112,7 +114,7 @@ class CoordConvWrap(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="conv",
-        )(x, pack=pack)
+        )(x, pack=pack, fuse_avgpool2=fuse_avgpool2)
 
 
 class ResBlock(nn.Module):
@@ -156,17 +158,19 @@ class ResBlock(nn.Module):
                 name=name,
             )
 
+        down = self.sample_type == "down"
         h = _norm_act(x, self.norm, self.activation, "norm1", train, act)
         h = cc(hidden_nc, 3, 1, "conv1")(h)
         h = _norm_act(h, self.norm, self.activation, "norm2", train, act)
-        h = cc(out_nc, 3, 1, "conv2")(h)
+        # conv→AvgPool tails fold into one stride-2 conv (exact; layers.py)
+        h = cc(out_nc, 3, 1, "conv2")(h, fuse_avgpool2=down)
 
-        s = cc(out_nc, 1, 0, "bypass")(x)
+        s = cc(out_nc, 1, 0, "bypass")(x, fuse_avgpool2=down)
 
         if self.sample_type == "up":
             return pixel_shuffle(h, 2) + pixel_shuffle(s, 2)
-        if self.sample_type == "down":
-            return avg_pool2d(h, 2) + avg_pool2d(s, 2)
+        if down:
+            return h + s
         return h + s
 
 
@@ -203,8 +207,9 @@ class ResBlockEncoderOptimized(nn.Module):
         if norm1 is not None:
             h = norm1(h)
         h = act(h)
-        h = cc(self.output_nc, 3, 1, "conv2")(h)
-        h = avg_pool2d(h, 2)
+        # conv2→AvgPool folds into one stride-2 conv (exact; layers.py) —
+        # the full-resolution conv2 output is never materialized
+        h = cc(self.output_nc, 3, 1, "conv2")(h, fuse_avgpool2=True)
 
         s = cc(self.output_nc, 1, 0, "bypass")(avg_pool2d(x, 2))
         return h + s
@@ -227,10 +232,14 @@ class ResBlockDecoder(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = True,
         pack_in: int = 1, pack_output: bool = False,
+        fuse_act: Optional[str] = None,
     ) -> jax.Array:
         """pack_in: the input's space-to-depth factor (1 = plain NHWC).
         pack_output: emit the upsampled result packed at 2*pack_in on the
-        same block grid instead of materializing the doubled resolution."""
+        same block grid instead of materializing the doubled resolution.
+        fuse_act: activation the CONSUMER would apply first thing (the Output
+        head's leading act) — fused into the Pallas epilogue when the
+        stencil kernel runs; ignored (caller applies it) otherwise."""
         hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
         act = Activation(self.activation, name="act")
 
@@ -242,18 +251,35 @@ class ResBlockDecoder(nn.Module):
         )(h, pack=pack_in)
         h = _norm_act(h, self.norm, self.activation, "norm2", train, act,
                       pack=pack_in)
-        h = ConvTranspose2d(
+        conv2 = ConvTranspose2d(
             self.output_nc, 3, stride=2, padding=1, output_padding=1,
             use_spect=self.use_spect, kernel_init=self.kernel_init,
             dtype=self.dtype, name="conv2",
-        )(h, pack_in=pack_in, packed_out=pack_output)
-
-        s = ConvTranspose2d(
+        )
+        bypass = ConvTranspose2d(
             self.output_nc, 3, stride=2, padding=1, output_padding=1,
             use_spect=self.use_spect, kernel_init=self.kernel_init,
             dtype=self.dtype, name="bypass",
-        )(x, pack_in=pack_in, packed_out=pack_output)
-        return h + s
+        )
+        if pack_output and use_packed_convt_kernel(train, pack_in):
+            # one fused stencil kernel for the convT pair: true FLOPs (the
+            # dense packed form pays 1.78·r² inflation), sum + biases (+ the
+            # consumer's act) written once (ops/pallas/packed_convt.py)
+            from face_mask_inpaint_tpu.ops.pallas.packed_convt import (
+                packed_convt_pair)
+
+            wh, bh = conv2(h, pack_in=pack_in, return_weights=True)
+            wx, bx = bypass(x, pack_in=pack_in, return_weights=True)
+            return packed_convt_pair(
+                [(h.astype(self.dtype), wh, bh),
+                 (x.astype(self.dtype), wx, bx)],
+                pack_in, act=fuse_act)
+        h = conv2(h, pack_in=pack_in, packed_out=pack_output)
+        s = bypass(x, pack_in=pack_in, packed_out=pack_output)
+        out = h + s
+        if fuse_act is not None:
+            out = act(out)
+        return out
 
 
 class Output(nn.Module):
@@ -273,14 +299,20 @@ class Output(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = True,
         pack_in: int = 1, fuse_pool: bool = False,
+        pre_activated: bool = False,
     ) -> jax.Array:
         """pack_in > 1: the input arrives space-to-depth packed; the head then
         runs entirely on the packed layout (the reference decodes 512²-1024²
         maps here, network.py:269-272) with an exact reflection-pad border
         correction. fuse_pool additionally folds the caller's integer-factor
         adaptive avg-pool (modules/model.py:79) into a channel-group mean so
-        the full-resolution image is never materialized."""
+        the full-resolution image is never materialized. pre_activated: the
+        producer already applied this head's leading activation (fused into
+        the decoder block's epilogue) — requires norm == 'none'."""
         act = Activation(self.activation, name="act")
+        if pre_activated:
+            assert self.norm == "none"
+            act = lambda v: v  # noqa: E731 — act already applied upstream
         conv = CoordConvWrap(
             features=self.output_nc,
             kernel_size=self.kernel_size,

@@ -185,6 +185,7 @@ class Conv2d(nn.Module, _SpectralMixin):
     def __call__(
         self, x: jax.Array, pack: int = 1,
         concat_with: Optional[jax.Array] = None,
+        fuse_avgpool2: bool = False,
     ) -> jax.Array:
         """pack > 1 runs the SAME conv (same params) on a space-to-depth
         packed input (ops/packed.py): a 'same' stride-1 conv at the original
@@ -193,7 +194,13 @@ class Conv2d(nn.Module, _SpectralMixin):
         concat_with: semantically conv(concat([x, concat_with], -1)) but
         computed as two convs summed — skip-connection concats (UNet Up)
         otherwise materialize in a layout the following conv cannot use,
-        costing a full copy of the map."""
+        costing a full copy of the map.
+
+        fuse_avgpool2: computes avg_pool2d(conv(x), 2) as ONE stride-2 conv
+        with the (k+1)² kernel K'[u] = ¼·Σ_{δ∈{0,1}²} K[u-δ] — exact algebra
+        (pooling commutes with the linear conv), skipping the full-resolution
+        intermediate. Used by the encoder stem / downsampling ResBlocks
+        (reference base_function.py:271-305 conv→AvgPool tails)."""
         ks = self.kernel_size
         if isinstance(ks, int):
             ks = (ks, ks)
@@ -211,6 +218,20 @@ class Conv2d(nn.Module, _SpectralMixin):
             if self.use_bias
             else None
         )
+        if fuse_avgpool2:
+            assert pack == 1 and concat_with is None
+            assert (self.stride, self.dilation, self.groups) == (1, 1, 1)
+            kh, kw = ks
+            p = self.padding if isinstance(self.padding, int) else self.padding[0]
+            assert kh == kw and p == kh // 2, "fold assumes odd 'same' convs"
+            wf = jnp.zeros((kh + 1, kw + 1, *w.shape[2:]), w.dtype)
+            for dh in (0, 1):
+                for dw in (0, 1):
+                    wf = wf.at[dh : dh + kh, dw : dw + kw].add(w)
+            return conv2d(
+                x.astype(self.dtype), (0.25 * wf).astype(self.dtype),
+                b.astype(self.dtype) if b is not None else None,
+                stride=2, padding=p)
         if pack > 1:
             assert (self.stride, self.dilation, self.groups) == (1, 1, 1), (
                 "packed conv supports stride/dilation/groups only == 1")
@@ -263,11 +284,17 @@ class ConvTranspose2d(nn.Module, _SpectralMixin):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, pack_in: int = 1, packed_out: bool = False
-    ) -> jax.Array:
+        self, x: jax.Array, pack_in: int = 1, packed_out: bool = False,
+        return_weights: bool = False,
+    ):
         """packed_out runs the SAME transposed conv (same params) from a
         pack_in-packed input to a (2*pack_in)-packed output on the same block
-        grid (ops/packed.py) — the decoder-tail execution strategy."""
+        grid (ops/packed.py) — the decoder-tail execution strategy.
+
+        return_weights returns the effective (kernel, bias) — spectral norm
+        applied, compute dtype — instead of the conv result, so a caller can
+        feed a fused kernel (ops/pallas/packed_convt.py) while this module
+        keeps owning the parameters (checkpoint layout unchanged)."""
         in_ch = x.shape[-1] // (pack_in * pack_in)
         w = self.param(
             "kernel",
@@ -281,6 +308,9 @@ class ConvTranspose2d(nn.Module, _SpectralMixin):
             if self.use_bias
             else None
         )
+        if return_weights:
+            return (w.astype(self.dtype),
+                    b.astype(self.dtype) if b is not None else None)
         if packed_out:
             assert (self.kernel_size, self.stride, self.padding,
                     self.output_padding) == (3, 2, 1, 1), (

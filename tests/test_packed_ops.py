@@ -167,3 +167,60 @@ def test_referencefill_flagship_shape_packed(rs):
     o_pk = m_pk.apply(mv, src, refi, mask, train=False, rngs={"sample": key})
     assert o_pk.shape == (2, 16, 16, 3)
     np.testing.assert_allclose(o_pk, o_ref, atol=2e-5)
+
+
+def test_conv_avgpool_fold(rs):
+    """avg_pool2d(conv(x), 2) == Conv2d(..., fuse_avgpool2=True) — the
+    stride-2 (k+1)² folded kernel (nn/layers.py), even and odd sizes."""
+    from face_mask_inpaint_tpu.nn.layers import Conv2d
+    from face_mask_inpaint_tpu.ops.resize import avg_pool2d
+
+    key = jax.random.PRNGKey(0)
+    for hw in (16, 15):
+        for ks, pad in ((3, 1), (1, 0)):
+            x = jnp.asarray(rs.randn(2, hw, hw, 6), jnp.float32)
+            conv = Conv2d(5, ks, padding=pad)
+            vs = conv.init(key, x)
+            ref = avg_pool2d(conv.apply(vs, x), 2)
+            got = conv.apply(vs, x, fuse_avgpool2=True)
+            assert got.shape == ref.shape, (hw, ks)
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_packed_convt_pair_kernel(rs):
+    """The Pallas stencil convT kernel (interpret mode) == the sum of two
+    dense packed transposed convs, with and without the fused act."""
+    from face_mask_inpaint_tpu.ops.pallas.packed_convt import packed_convt_pair
+
+    for r_in in (1, 2):
+        x = jnp.asarray(rs.randn(2, 8, 8, r_in * r_in * 6), jnp.float32)
+        h = jnp.asarray(rs.randn(2, 8, 8, r_in * r_in * 4), jnp.float32)
+        wx = jnp.asarray(rs.randn(3, 3, 6, 5) * 0.3, jnp.float32)
+        wh = jnp.asarray(rs.randn(3, 3, 4, 5) * 0.3, jnp.float32)
+        bx = jnp.asarray(rs.randn(5), jnp.float32)
+        bh = jnp.asarray(rs.randn(5), jnp.float32)
+        ref = (P.packed_conv_transpose2x(x, wx, bx, r_in)
+               + P.packed_conv_transpose2x(h, wh, bh, r_in))
+        got = packed_convt_pair([(x, wx, bx), (h, wh, bh)], r_in)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        got_act = packed_convt_pair([(x, wx, bx), (h, wh, bh)], r_in,
+                                    act="LeakyReLU")
+        np.testing.assert_allclose(
+            got_act, jnp.where(ref >= 0, ref, 0.1 * ref), atol=1e-4)
+
+
+def test_packed_resgenerator_with_pallas_convt(rs, monkeypatch):
+    """Full packed ResGenerator with the Pallas convT-pair kernel forced on
+    (interpret mode) matches the plain unpacked decode — covers the
+    ResBlockDecoder fused path, the fuse_act epilogue, and the Output head's
+    pre_activated handoff."""
+    monkeypatch.setenv("FMI_PACKED_CONVT", "1")
+    key = jax.random.PRNGKey(0)
+    f = jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    g_ref = define_g(**_dec_params(), use_attn=False, pack_threshold=10**9)
+    g_pk = define_g(**_dec_params(), use_attn=False, pack_threshold=8)
+    vs = g_ref.init(key, f, z=z, train=False)
+    ref = g_ref.apply(vs, f, z=z, train=False)
+    got = g_pk.apply(vs, f, z=z, train=False)
+    np.testing.assert_allclose(got, ref, atol=3e-5)
