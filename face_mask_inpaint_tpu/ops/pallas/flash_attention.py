@@ -29,6 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention"]
 
+# All kernels run the softmax in base 2: the score matmul takes q pre-scaled
+# by log2(e) (one tiny [N, L, d] multiply outside the kernel) so the VPU
+# skips the per-element x*log2(e) multiply inside every exp lowering — the
+# exp over the [N, L, L] map is the kernel's VPU bottleneck. The stashed
+# "lse" residual is base-2 as well (m2 + log2(l)); the backward recomputes
+# p = exp2(s2 - lse2) with the same one-sided q scaling, and only dk needs
+# the 1/log2(e) contraction correction (it contracts dS against scaled q).
+_LOG2E = 1.4426950408889634
+
 
 def _interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu", "axon")
@@ -60,8 +69,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
     m_prev = m_scr[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -73,7 +82,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
+        lse_ref[0] = m_scr[...] + jnp.log2(l_scr[...])
 
 
 def _forward(q, values, tq, tk, with_lse=False):
@@ -85,7 +94,8 @@ def _forward(q, values, tq, tk, with_lse=False):
     nk = -(-l // tk)
     lq_pad = nq * tq - l
     lk_pad = nk * tk - l
-    qp = jnp.pad(q, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else q
+    q2 = (q.astype(jnp.float32) * _LOG2E).astype(q.dtype)  # base-2 scores
+    qp = jnp.pad(q2, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else q2
     kp = jnp.pad(q, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else q
     vp = jnp.pad(v, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else v
 
@@ -147,7 +157,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref,
     if pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * tk
         s = jnp.where(col < lk, s, -jnp.inf)
-    p = jnp.exp(s - lse_ref[0])  # exact probabilities (exp(-inf) = 0 on pads)
+    p = jnp.exp2(s - lse_ref[0])  # exact probabilities (exp2(-inf) = 0 on pads)
     dp = jax.lax.dot_general(
         do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [tq, tk]
@@ -179,9 +189,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     if pad:
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qi * tq
         s = jnp.where(row < lq, s, -jnp.inf)
-        p = jnp.where(row < lq, jnp.exp(s - lse_ref[0]), 0.0)
+        p = jnp.where(row < lq, jnp.exp2(s - lse_ref[0]), 0.0)
     else:
-        p = jnp.exp(s - lse_ref[0])  # [tq, tk]
+        p = jnp.exp2(s - lse_ref[0])  # [tq, tk]
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [tk, c]
@@ -195,7 +205,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
     @pl.when(qi == nq - 1)
     def _finish():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        # dS was contracted against the log2(e)-scaled q — undo the scale
+        dk_ref[0] = (dk_scr[...] * (1.0 / 1.4426950408889634)).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -214,7 +225,8 @@ def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
     dsum = jnp.sum(do_cat.astype(jnp.float32) * outs_cat.astype(jnp.float32),
                    axis=-1, keepdims=True)
 
-    qp = jnp.pad(q, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else q
+    q2 = (q.astype(jnp.float32) * _LOG2E).astype(q.dtype)  # base-2 scores
+    qp = jnp.pad(q2, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else q2
     kp = jnp.pad(q, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else q
     vp = jnp.pad(v, ((0, 0), (0, lk_pad), (0, 0))) if lk_pad else v
     dop = jnp.pad(do_cat, ((0, 0), (0, lq_pad), (0, 0))) if lq_pad else do_cat
