@@ -225,6 +225,8 @@ class ResGenerator(nn.Module):
         )
         output = None
         r = 1  # current space-to-depth factor of `out`
+        stats = None  # per-(sample, channel) (Σ, Σ²) of `out` from a fused
+        # decoder kernel epilogue — feeds the next block's norm1 prologue
         for i in range(self.layers):
             mult = min(2 ** (self.layers - i - 1), self.img_f // self.ngf)
             ch = int(self.ngf * mult)
@@ -244,14 +246,18 @@ class ResGenerator(nn.Module):
                     and self.activation in ("LeakyReLU", "ReLU"))
                 else None
             )
-            out = ResBlockDecoder(
+            want_stats = (pack_out and i < self.layers - 1
+                          and self.norm == "instance")
+            res = ResBlockDecoder(
                 output_nc=ch, hidden_nc=ch, norm=self.norm,
                 name=f"decoder{i}", **kw,
             )(out, train=train, pack_in=r, pack_output=pack_out,
-              fuse_act=fuse_act)
+              fuse_act=fuse_act, in_stats=stats, want_stats=want_stats)
+            out, stats = res if want_stats else (res, None)
             if pack_out:
                 r *= 2
             if i == 1 and self.use_attn:
+                stats = None  # attention rewrites `out`; stats are stale
                 if r > 1:  # attention needs the full-resolution map
                     from face_mask_inpaint_tpu.ops.packed import depth_to_space
 

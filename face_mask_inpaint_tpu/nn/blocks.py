@@ -233,24 +233,26 @@ class ResBlockDecoder(nn.Module):
         self, x: jax.Array, train: bool = True,
         pack_in: int = 1, pack_output: bool = False,
         fuse_act: Optional[str] = None,
-    ) -> jax.Array:
+        in_stats=None, want_stats: bool = False,
+    ):
         """pack_in: the input's space-to-depth factor (1 = plain NHWC).
         pack_output: emit the upsampled result packed at 2*pack_in on the
         same block grid instead of materializing the doubled resolution.
         fuse_act: activation the CONSUMER would apply first thing (the Output
         head's leading act) — fused into the Pallas epilogue when the
-        stencil kernel runs; ignored (caller applies it) otherwise."""
+        stencil kernel runs; applied here in the dense path so the returned
+        tensor is pre-activated either way.
+        in_stats / want_stats (fused-kernel path): per-(sample, channel)
+        f32 (Σx, Σx²) of this block's INPUT from the previous stage's kernel
+        epilogue, and whether to emit the same for this block's output.
+        Returns out, or (out, stats or None) when want_stats."""
         hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
         act = Activation(self.activation, name="act")
 
-        h = _norm_act(x, self.norm, self.activation, "norm1", train, act,
-                      pack=pack_in)
-        h = Conv2d(
+        conv1 = Conv2d(
             hidden_nc, 3, padding=1, use_spect=self.use_spect,
             kernel_init=self.kernel_init, dtype=self.dtype, name="conv1",
-        )(h, pack=pack_in)
-        h = _norm_act(h, self.norm, self.activation, "norm2", train, act,
-                      pack=pack_in)
+        )
         conv2 = ConvTranspose2d(
             self.output_nc, 3, stride=2, padding=1, output_padding=1,
             use_spect=self.use_spect, kernel_init=self.kernel_init,
@@ -261,25 +263,85 @@ class ResBlockDecoder(nn.Module):
             use_spect=self.use_spect, kernel_init=self.kernel_init,
             dtype=self.dtype, name="bypass",
         )
-        if pack_output and use_packed_convt_kernel(train, pack_in):
-            # one fused stencil kernel for the convT pair: true FLOPs (the
-            # dense packed form pays 1.78·r² inflation), sum + biases (+ the
-            # consumer's act) written once (ops/pallas/packed_convt.py)
-            from face_mask_inpaint_tpu.ops.pallas.packed_convt import (
-                packed_convt_pair)
 
-            wh, bh = conv2(h, pack_in=pack_in, return_weights=True)
-            wx, bx = bypass(x, pack_in=pack_in, return_weights=True)
-            return packed_convt_pair(
-                [(h.astype(self.dtype), wh, bh),
-                 (x.astype(self.dtype), wx, bx)],
-                pack_in, act=fuse_act)
+        fuse_kernel = (
+            pack_output
+            and self.norm in ("instance", "none")
+            and self.activation in ("LeakyReLU", "ReLU")
+            and not self.use_coord
+            and use_packed_convt_kernel(train, pack_in)
+        )
+        if fuse_kernel:
+            # The whole block runs as TWO Pallas stencil kernels at true
+            # FLOPs (the dense packed forms pay r²-ish inflation), with the
+            # instance norms folded in as affine prologues / stats epilogues
+            # so no standalone normalize or stats pass survives between them
+            # (ops/pallas/packed_convt.py).
+            out, stats = self._fused_tail(
+                x, conv1, conv2, bypass, pack_in, fuse_act,
+                in_stats, want_stats)
+            return (out, stats) if want_stats else out
+
+        h = _norm_act(x, self.norm, self.activation, "norm1", train, act,
+                      pack=pack_in)
+        h = conv1(h, pack=pack_in)
+        h = _norm_act(h, self.norm, self.activation, "norm2", train, act,
+                      pack=pack_in)
         h = conv2(h, pack_in=pack_in, packed_out=pack_output)
         s = bypass(x, pack_in=pack_in, packed_out=pack_output)
         out = h + s
         if fuse_act is not None:
             out = act(out)
+        if want_stats:
+            return out, None
         return out
+
+    def _fused_tail(self, x, conv1, conv2, bypass, r, fuse_act,
+                    in_stats, want_stats):
+        from face_mask_inpaint_tpu.nn.layers import InstanceNorm2d
+        from face_mask_inpaint_tpu.ops.pallas.packed_convt import (
+            instance_affine_from_stats, packed_conv3x3_stats,
+            packed_convt_pair)
+
+        n, hp, wp, sc = x.shape
+        count = hp * wp * r * r  # per-channel element count at full res
+        instance = self.norm == "instance"
+
+        def affine(name, stats, c):
+            """(A, B) for y·A + B == InstanceNorm(name)(y) (or identity)."""
+            if not instance:
+                return (jnp.ones((n, c), jnp.float32),
+                        jnp.zeros((n, c), jnp.float32))
+            g, be = InstanceNorm2d(name=name)(
+                jnp.zeros((1, 1, 1, c), x.dtype), return_affine=True)
+            return instance_affine_from_stats(stats[0], stats[1], count, g, be)
+
+        c_in = sc // (r * r)
+        if instance and in_stats is None:
+            xf = x.astype(jnp.float32).reshape(n, hp, wp, r * r, c_in)
+            in_stats = (jnp.sum(xf, axis=(1, 2, 3)),
+                        jnp.sum(jnp.square(xf), axis=(1, 2, 3)))
+        a1, b1 = affine("norm1", in_stats, c_in)
+
+        w1, c1b = conv1(x, pack=r, return_weights=True)
+        h = packed_conv3x3_stats(
+            x.astype(self.dtype), w1, c1b, r,
+            prologue=(a1, b1, self.activation),
+            with_stats=instance, act=None)
+        h_stats = None
+        if instance:
+            h, h_stats = h
+        a2, b2 = affine("norm2", h_stats, h.shape[-1] // (r * r))
+
+        wh, bh = conv2(h, pack_in=r, return_weights=True)
+        wx, bx = bypass(x, pack_in=r, return_weights=True)
+        res = packed_convt_pair(
+            [(h, wh, bh, (a2, b2, self.activation)),
+             (x.astype(self.dtype), wx, bx)],
+            r, act=fuse_act, with_stats=want_stats)
+        if want_stats:
+            return res
+        return res, None
 
 
 class Output(nn.Module):

@@ -186,7 +186,8 @@ class Conv2d(nn.Module, _SpectralMixin):
         self, x: jax.Array, pack: int = 1,
         concat_with: Optional[jax.Array] = None,
         fuse_avgpool2: bool = False,
-    ) -> jax.Array:
+        return_weights: bool = False,
+    ):
         """pack > 1 runs the SAME conv (same params) on a space-to-depth
         packed input (ops/packed.py): a 'same' stride-1 conv at the original
         resolution, executed on the MXU-friendly packed layout.
@@ -218,6 +219,11 @@ class Conv2d(nn.Module, _SpectralMixin):
             if self.use_bias
             else None
         )
+        if return_weights:
+            # effective (kernel, bias) for fused Pallas consumers — spectral
+            # norm applied, compute dtype; parameters stay owned here
+            return (w.astype(self.dtype),
+                    b.astype(self.dtype) if b is not None else None)
         if fuse_avgpool2:
             assert pack == 1 and concat_with is None
             assert (self.stride, self.dilation, self.groups) == (1, 1, 1)
@@ -406,7 +412,16 @@ class InstanceNorm2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, pack: int = 1) -> jax.Array:
+    def __call__(self, x: jax.Array, pack: int = 1,
+                 return_affine: bool = False):
+        if return_affine:
+            # the learned (scale, bias) for fused consumers that apply the
+            # normalization themselves (ops/pallas/packed_convt.py prologues)
+            c = x.shape[-1] // (pack * pack)
+            if not self.affine:
+                return None, None
+            return (self.param("scale", nn.initializers.ones, (c,)),
+                    self.param("bias", nn.initializers.zeros, (c,)))
         if pack > 1:
             from face_mask_inpaint_tpu.ops.packed import packed_instance_norm_act
 

@@ -1,31 +1,43 @@
-"""Pallas TPU kernel: true-FLOP transposed conv on the packed decoder tail.
+"""Pallas TPU kernels: the space-to-depth packed decoder tail at true FLOPs.
 
-The space-to-depth packed decoder (ops/packed.py) executes
-ConvTranspose2d(k=3, s=2, p=1, op=1) as a dense [2, 2, r²ci, (2r)²co] conv.
-That dense kernel is mostly zeros — each output slot really reads only
-2.25 taps on average — so the MXU does 1.78·r² more FLOPs than the math
-requires (7.1x at the flagship's 512²→1024² stage, measured 8.7 ms/step of
-the 76 ms bs16 step even at ~190 TFLOP/s).
+The packed decoder (ops/packed.py) executes ConvTranspose2d(k=3,s=2,p=1,op=1)
+as a dense [2, 2, r²ci, (2r)²co] conv and the stride-1 3×3 convs as dense
+[3, 3, r²ci, r²co] convs. Those dense kernels are mostly zeros: the MXU pays
+1.78·r² (convT) / r² (conv) more FLOPs than the math requires — 7.1x at the
+flagship's 512²→1024² stage.
 
-This kernel computes the same op at its TRUE FLOP count: per packed slot it
-runs one [px, C] @ [C, 9·Co] tap-matmul (weights shared across slots) and
-assembles the 2r-packed output with static shifted adds in VMEM — the
-(slot, tap) → (out-slot, block-shift) map is a bijection, so every computed
-tap value is used exactly once.  It fuses the ResBlockDecoder convT *pair*
-(base_function.py:308-364: the conv branch and the transposed-conv bypass
-share one output sum), the biases, and optionally the following LeakyReLU,
-so the full-resolution intermediate is written exactly once.
+These kernels compute the same ops at (near-)true FLOPs with the "slot-row
+scheme": per output slot-row, all contributions collapse into dense
+[r·C, ·] column-stencil matmuls (the column axis folds into channels on the
+packed grid), and every accumulation is wide and lane-aligned — a first-cut
+per-(slot, tap) assembly relayout-thrashed and lost to the dense form.
 
-Derivation (per axis, output offset q of a 2r-packed block, input slot s,
-tap t of the k=3/s=2/p=1/op=1 transposed conv):  out[p] += W[t]·x[(p+1-t)/2]
-with p = P·2r + q gives q = 2s + t - 1 at block shift 0, except (s=0, t=0)
-which lands on the previous block's q = 2r-1 — i.e. read-side, out block P
-additionally reads the FIRST row/col of block P+1 (zero past the edge, the
-same zero-pad the dense form uses, ops/packed.py:151-162).
+Measured solo wins on v5e bs16 mean nothing in-graph unless the kernels also
+absorb their NEIGHBORHOOD: a Pallas custom-call pins row-major layouts and
+breaks XLA's producer fusions, so the surrounding convs/norm passes slow by
+more than the kernel saves (flagship 74.0 → 80.4 ms with bare kernels).
+Hence each kernel optionally fuses:
 
-Training keeps the dense XLA path (it is natively differentiable); this
-kernel is used for the inference graph. Reference op:
-/root/reference/modules/pluralistic_model/base_function.py:308-364.
+- a PROLOGUE per input stream: the instance-norm affine x·A + B (A, B
+  [N, r²C] from the previous stage's stats) + activation — replacing the
+  standalone normalize pass XLA can no longer fuse into a producer conv;
+- a STATS EPILOGUE: per-(sample, original-channel) Σy and Σy² of the raw
+  output (pooled over space and packed slots), feeding the NEXT stage's
+  instance norm — replacing the stats pass XLA used to fuse into the
+  producer;
+- the consumer's leading activation (the Output head, base_function.py:378).
+
+Derivation (per axis, transposed conv): out[p] += W[t]·x[(p+1-t)/2] with
+p = P·2r + q gives q = 2s + t - 1 at block shift 0, except (s=0, t=0) which
+lands on the previous block's q = 2r-1 — read-side, out block P additionally
+reads the FIRST row/col of block P+1 (zero past the edge, the same zero-pad
+the dense form uses, ops/packed.py:151-162). For the stride-1 conv, out slot
+a reads input slots a+t-1 with both-side wraps (block P-1 slot r-1 and block
+P+1 slot 0).
+
+Training keeps the dense XLA path (natively differentiable); these kernels
+serve the inference graph. Reference ops:
+/root/reference/modules/pluralistic_model/base_function.py:308-398.
 """
 
 from __future__ import annotations
@@ -37,7 +49,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["packed_convt_pair", "use_packed_convt_kernel"]
+__all__ = [
+    "packed_convt_pair",
+    "packed_conv3x3_stats",
+    "use_packed_convt_kernel",
+    "instance_affine_from_stats",
+]
 
 
 def _interpret() -> bool:
@@ -45,34 +62,97 @@ def _interpret() -> bool:
 
 
 def use_packed_convt_kernel(train: bool, r_in: int = 1) -> bool:
-    """Kernel policy: inference graphs on real TPU backends (the dense XLA
-    path is natively differentiable, so training keeps it), or anywhere when
-    FMI_PACKED_CONVT=1 (interpret-mode CI parity tests). FMI_PACKED_CONVT=0
-    force-disables.
+    """Kernel policy: DEFAULT OFF — opt in with FMI_PACKED_CONVT=1.
 
-    Default OFF pending an end-to-end win: in-graph, the Pallas custom-call
-    pins row-major layouts on its operands/results, and the surrounding XLA
-    convs (which prefer C-minor interleaved layouts) each slow by ~0.5-1 ms
-    absorbing them — the r01-style stage-3 kernel measured faster solo
-    (5.9 vs 7.0 ms) yet REGRESSED the full flagship step 76.7 → 83.2 ms.
-    del r_in — kept for call-site clarity until the gate goes shape-aware."""
+    Measured verdict on v5e bs16 (2026-08): the slot-row stencil kernels are
+    ~2x faster than the dense packed convs SOLO (stage-4 pair 6.6 vs
+    14.1 ms), but IN-GRAPH the full fused tail (conv1 + convT pairs with
+    norm-affine prologues and stats epilogues) still loses to XLA's dense
+    path — flagship 76.6 vs 74.0 ms — because (a) the custom-calls pin
+    row-major layouts that cost the neighboring convs ~2 ms in relayouts
+    (the Output-head conv alone 6.4 → 8.6 ms), and (b) the in-kernel
+    concat/prologue/masking VPU passes cost more than the MXU FLOPs saved
+    (tile-height sweeps flat, so not grid overhead). XLA's dense forms run
+    at ~190 TFLOP/s and its producer-epilogue fusions are free; beating
+    that needs kernels that swallow the Output head too. Kept (tested,
+    interpret-mode parity in CI) as groundwork."""
     import os
 
     del r_in
     flag = os.environ.get("FMI_PACKED_CONVT")
-    if flag == "0":
-        return False
     if flag == "1":
         return not train
     return False
 
 
-def _pairs_h(qh: int, r: int):
-    """Row-axis contributions to output slot-row qh of the 2r-packed output:
-    [(input slot-row sa, kernel tap row th_, read row-shift δ ∈ {0,1})].
-    From out[p] += W[t]·x[(p+1-t)/2] with p = P·2r + qh: even qh = 2a reads
-    (a, t=1) in-block; odd qh = 2a+1 reads (a, t=2) and (a+1, t=0), the
-    latter wrapping to slot-row 0 of block P+1 when a+1 == r."""
+def instance_affine_from_stats(s, sq, count, gamma, beta, eps=1e-5):
+    """(Σy, Σy², N·count) -> per-(sample, channel) A, B with
+    normalize(y) = y·A + B (InstanceNorm2d semantics, f32 stats)."""
+    mean = s / count
+    var = jnp.maximum(sq / count - jnp.square(mean), 0.0)
+    a = jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        a = a * gamma.astype(jnp.float32)[None]
+    b = -mean * a
+    if beta is not None:
+        b = b + beta.astype(jnp.float32)[None]
+    return a, b
+
+
+def _act(y, act):
+    if act == "LeakyReLU":
+        return jnp.where(y >= 0, y, y * 0.1)
+    if act == "ReLU":
+        return jnp.maximum(y, 0.0)
+    if act is None or act == "none":
+        return y
+    raise NotImplementedError(act)
+
+
+def _load_stream(xc_ref, xn_ref, pro, i, n_tiles, th, wp):
+    """Concat the current row-tile with its one-row bottom halo, apply the
+    optional normalize+act prologue, THEN zero the halo past the image edge
+    and the width pad — the conv's zero padding lives in the POST-norm
+    domain (torch normalizes, then the conv pads)."""
+    x = jnp.concatenate([xc_ref[0], xn_ref[0]], axis=0)  # [th+1, wp, S*C]
+    if pro is not None:
+        a_ref, b_ref, pact = pro
+        x32 = x.astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0]
+        x = _act(x32, pact).astype(x.dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 1, 1, 1), 0)
+    edge = jnp.logical_or(row < th, i < n_tiles - 1)
+    x = jnp.where(edge, x, jnp.zeros_like(x))
+    wp_p = wp + 8
+    return jnp.concatenate(
+        [x, jnp.zeros((th + 1, wp_p - wp, x.shape[-1]), x.dtype)], axis=1
+    ), wp_p
+
+
+def _stats_update(y32, sum_ref, sq_ref, i, th, wp, s_out, co):
+    """Accumulate per-original-channel Σ and Σ² of the raw tile output.
+    Slot groups reduce via per-slot lane slices — Mosaic cannot shape-cast
+    the [s_out·co] lane vector to [s_out, co]."""
+    flat = y32.reshape(th * wp, s_out * co)
+    row1 = jnp.sum(flat, axis=0, keepdims=True)         # [1, s_out*co]
+    row2 = jnp.sum(jnp.square(flat), axis=0, keepdims=True)
+    s1 = row1[:, :co]
+    s2 = row2[:, :co]
+    for q in range(1, s_out):
+        s1 = s1 + row1[:, q * co : (q + 1) * co]
+        s2 = s2 + row2[:, q * co : (q + 1) * co]
+
+    @pl.when(i == 0)
+    def _init():
+        sum_ref[...] = jnp.zeros_like(sum_ref)
+        sq_ref[...] = jnp.zeros_like(sq_ref)
+
+    sum_ref[0] += s1
+    sq_ref[0] += s2
+
+
+def _pairs_h_convt(qh: int, r: int):
+    """Transposed conv, row axis: output slot-row qh of the 2r-packed output
+    reads [(input slot-row sa, kernel tap row th_, row-shift δ ∈ {0,1})]."""
     a, odd = divmod(qh, 2)
     pairs = [(a, 1, 0)] if not odd else [(a, 2, 0)]
     if odd:
@@ -80,46 +160,39 @@ def _pairs_h(qh: int, r: int):
     return pairs
 
 
-def _kernel(*refs, streams, r, co, th, wp, n_tiles, act):
-    """refs: [xc, xn, wrow, wwrap]*len(streams), bias, out, acc_scr.
-
-    xc: [1, th, wp, r²·C] current row-tile of the r-packed input; xn:
-    [1, 1, wp, r²·C] halo row (first row of the next tile; clamped garbage
-    on the last tile — masked to the transposed conv's zero pad);
-    wrow: [3, r·C, 2r·co] — per kernel-tap-row th_, the dense 1D column
-    stencil Wrow[th_][(sb, c), (qw, co)] = Σ_{tw: 2sb+tw-1=qw} w[th_, tw];
-    wwrap: [3, C, co] = w[:, 0] — the column-wrap tap (output slot-col 2r-1
-    reading slot-col 0 of the next block column);
-    bias: [1, 4r²·co]; out: [1, th, wp, 4r²·co].
-
-    All main accumulations are [2r·co]-sized and 2r·co-aligned on the lane
-    axis (the whole point: the per-(slot, tap) assembly variant relayouts
-    36 offset slices and loses to the dense form).
+def _convt_kernel(*refs, cfg, r, co, th, wp, n_tiles, act, with_stats):
+    """cfg: per stream (channels, has_prologue, prologue_act).
+    refs: [xc, xn, wrow, wwrap, (A, B)?]*streams, bias, out, (sum, sq)?, acc.
     """
-    n_streams = len(streams)
-    ins = refs[: 4 * n_streams]
-    bias_ref = refs[4 * n_streams]
-    o_ref = refs[4 * n_streams + 1]
-    acc = refs[4 * n_streams + 2]
+    pos = 0
+    loaded = []
+    for c, has_pro, pact in cfg:
+        xc_ref, xn_ref, wr_ref, ww_ref = refs[pos : pos + 4]
+        pos += 4
+        pro = None
+        if has_pro:
+            pro = (refs[pos], refs[pos + 1], pact)
+            pos += 2
+        loaded.append((c, xc_ref, xn_ref, wr_ref, ww_ref, pro))
+    bias_ref = refs[pos]
+    o_ref = refs[pos + 1]
+    pos += 2
+    sum_ref = sq_ref = None
+    if with_stats:
+        sum_ref, sq_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    acc = refs[pos]
 
     i = pl.program_id(1)
     acc[...] = jnp.zeros_like(acc)
-    wp_p = wp + 8  # sublane-aligned width incl. the +1 column halo
     qw_wrap = 2 * r - 1
 
-    for si in range(n_streams):
-        c = streams[si]
+    for c, xc_ref, xn_ref, wr_ref, ww_ref, pro in loaded:
         rc = r * c
-        xc_ref, xn_ref, wr_ref, ww_ref = ins[4 * si : 4 * si + 4]
-        halo = xn_ref[0]  # [1, wp, r²·C]
-        halo = jnp.where(i < n_tiles - 1, halo, jnp.zeros_like(halo))
-        x = jnp.concatenate([xc_ref[0], halo], axis=0)  # [th+1, wp, r²C]
-        x = jnp.concatenate(
-            [x, jnp.zeros((th + 1, wp_p - wp, x.shape[-1]), x.dtype)], axis=1)
-
+        x, wp_p = _load_stream(xc_ref, xn_ref, pro, i, n_tiles, th, wp)
         for qh in range(2 * r):
             off = qh * 2 * r * co
-            for sa, th_, dh in _pairs_h(qh, r):
+            for sa, th_, dh in _pairs_h_convt(qh, r):
                 xs = x[dh : dh + th, :, sa * rc : (sa + 1) * rc]
                 y = jax.lax.dot_general(
                     xs.reshape(th * wp_p, rc), wr_ref[th_],
@@ -137,13 +210,36 @@ def _kernel(*refs, streams, r, co, th, wp, n_tiles, act):
                 acc[:, :, off + qw_wrap * co : off + (qw_wrap + 1) * co] += yw
 
     y = acc[...] + bias_ref[0].astype(jnp.float32)
-    if act == "LeakyReLU":
-        y = jnp.where(y >= 0, y, y * 0.1)
-    elif act == "ReLU":
-        y = jnp.maximum(y, 0.0)
-    elif act is not None:
-        raise NotImplementedError(act)
-    o_ref[0] = y.astype(o_ref.dtype)
+    if with_stats:
+        _stats_update(y, sum_ref, sq_ref, i, th, wp, 4 * r * r, co)
+    o_ref[0] = _act(y, act).astype(o_ref.dtype)
+
+
+def _stream_specs(x, th, wp, n_tiles, extra_w_specs):
+    """BlockSpecs for (current tile, one-row bottom halo) + weight specs."""
+    sc = x.shape[-1]
+    specs = [
+        pl.BlockSpec((1, th, wp, sc), lambda b_, i_: (b_, i_, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, wp, sc),
+            lambda b_, i_, _nt=n_tiles, _th=th: (
+                b_, jax.lax.min((i_ + 1) * _th, _nt * _th - 1), 0, 0),
+            memory_space=pltpu.VMEM),
+    ]
+    return specs + extra_w_specs
+
+
+def _pro_operands(prologue, n, sc):
+    """Tile per-channel A, B [N, C] to the packed channel dim [N, 1, S·C]
+    (the middle singleton keeps the BlockSpec's trailing dims legal)."""
+    a, b, pact = prologue
+    s = sc // a.shape[-1]
+    at = jnp.tile(a.astype(jnp.float32), (1, s))[:, None]
+    bt = jnp.tile(b.astype(jnp.float32), (1, s))[:, None]
+    spec = pl.BlockSpec((1, 1, sc), lambda b_, i_: (b_, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return [at, bt], [spec, spec], pact
 
 
 def packed_convt_pair(
@@ -152,21 +248,29 @@ def packed_convt_pair(
     act: str | None = None,
     th: int = 4,
     out_dtype=None,
+    with_stats: bool = False,
 ):
     """Sum of ConvTranspose2d(k=3, s=2, p=1, op=1) over input streams.
 
-    streams: list of (x, w, b) with x [N, Hp, Wp, r_in²·C_i] (the r_in-packed
-    view of an [N, H, W, C_i] map on a shared block grid), w [3, 3, C_i, Co]
-    (HWIO, as stored by nn.layers.ConvTranspose2d), b [Co] or None.
+    streams: list of (x, w, b) or (x, w, b, (A, B, act)) with x
+    [N, Hp, Wp, r_in²·C_i] (the r_in-packed view of an [N, H, W, C_i] map on
+    a shared block grid), w [3, 3, C_i, Co] (HWIO, as stored by
+    nn.layers.ConvTranspose2d), b [Co] or None. The optional (A, B, act)
+    prologue applies x·A + B (A, B [N, C_i] f32 — the previous stage's
+    instance-norm affine) then `act` before the conv.
+
     Returns the (2·r_in)-packed output [N, Hp, Wp, 4·r_in²·Co] of
-    sum_i convT(x_i, w_i) + b_i, with `act` (LeakyReLU 0.1) optionally fused.
+    sum_i convT(x_i', w_i) + b_i with `act` optionally fused; with
+    with_stats=True returns (out, (Σy, Σy²)) with the f32 per-(sample,
+    channel) sums of the PRE-act output pooled over space and slots.
     """
     assert len(streams) >= 1
+    streams = [s if len(s) == 4 else (*s, None) for s in streams]
     n, hp, wp, _ = streams[0][0].shape
     co = streams[0][1].shape[-1]
     r = r_in
     s_out = 4 * r * r
-    for x, w, b in streams:
+    for x, w, b, _ in streams:
         assert x.shape[:3] == (n, hp, wp)
         assert w.shape[0] == w.shape[1] == 3 and w.shape[-1] == co
         assert x.shape[-1] == r * r * w.shape[2]
@@ -177,17 +281,14 @@ def packed_convt_pair(
     dtype = out_dtype or streams[0][0].dtype
 
     bias = jnp.zeros((co,), jnp.float32)
-    for _, _, b in streams:
+    for _, _, b, _ in streams:
         if b is not None:
             bias = bias + b.astype(jnp.float32)
     bias_t = jnp.tile(bias, s_out)[None].astype(jnp.float32)
 
-    operands = []
-    in_specs = []
-    chans = []
-    for x, w, _ in streams:
+    operands, in_specs, cfg = [], [], []
+    for x, w, _, prologue in streams:
         c = w.shape[2]
-        chans.append(c)
         # Per tap-row dense 1D column stencil:
         # wrow[th_, (sb, c), (qw, co)] = Σ_{tw: 2sb+tw-1 = qw} w[th_, tw, c, co]
         wrow = jnp.zeros((3, r * c, 2 * r * co), w.dtype)
@@ -198,39 +299,239 @@ def packed_convt_pair(
                     wrow = wrow.at[
                         :, sb * c : (sb + 1) * c, qw * co : (qw + 1) * co
                     ].add(w[:, tw])
-        # column-wrap tap: output slot-col 2r-1 ← slot-col 0 of next block
-        wwrap = w[:, 0]  # [3, C, co]
+        wwrap = w[:, 0]  # [3, C, co]: slot-col 2r-1 ← next block's slot-col 0
         sc = x.shape[-1]
         operands += [x, x, wrow.astype(x.dtype), wwrap.astype(x.dtype)]
-        in_specs += [
-            pl.BlockSpec((1, th, wp, sc), lambda b_, i_: (b_, i_, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # halo: the single row just below this tile (clamped at the end)
-            pl.BlockSpec(
-                (1, 1, wp, sc),
-                lambda b_, i_, _nt=n_tiles, _th=th: (
-                    b_, jax.lax.min((i_ + 1) * _th, _nt * _th - 1), 0, 0),
-                memory_space=pltpu.VMEM),
+        in_specs += _stream_specs(x, th, wp, n_tiles, [
             pl.BlockSpec((3, r * c, 2 * r * co), lambda b_, i_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, c, co), lambda b_, i_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ]
+        ])
+        pact = None
+        if prologue is not None:
+            ops_, specs_, pact = _pro_operands(prologue, n, sc)
+            operands += ops_
+            in_specs += specs_
+        cfg.append((c, prologue is not None, pact))
     operands.append(bias_t)
     in_specs.append(pl.BlockSpec((1, s_out * co), lambda b_, i_: (0, 0),
                                  memory_space=pltpu.VMEM))
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, th, wp, s_out * co),
+                              lambda b_, i_: (b_, i_, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n, hp, wp, s_out * co), dtype)]
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, 1, co), lambda b_, i_: (b_, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [jax.ShapeDtypeStruct((n, 1, co), jnp.float32)] * 2
+
+    res = pl.pallas_call(
         functools.partial(
-            _kernel, streams=tuple(chans), r=r, co=co, th=th, wp=wp,
-            n_tiles=n_tiles, act=act),
+            _convt_kernel, cfg=tuple(cfg), r=r, co=co, th=th, wp=wp,
+            n_tiles=n_tiles, act=act, with_stats=with_stats),
         grid=(n, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, wp, s_out * co),
-                               lambda b_, i_: (b_, i_, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hp, wp, s_out * co), dtype),
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shape if with_stats else out_shape[0],
         scratch_shapes=[pltpu.VMEM((th, wp, s_out * co), jnp.float32)],
         interpret=_interpret(),
     )(*operands)
-    return out
+    if with_stats:
+        return res[0], (res[1][:, 0], res[2][:, 0])
+    return res
+
+
+def _pairs_h_conv(a: int, r: int):
+    """Stride-1 3×3 'same' conv, row axis: output slot-row a reads
+    [(input slot-row sa, tap row th_, row-shift δ ∈ {-1, 0, 1})]."""
+    pairs = []
+    for th_ in range(3):
+        sa = a + th_ - 1
+        if sa == -1:
+            pairs.append((r - 1, th_, -1))
+        elif sa == r:
+            pairs.append((0, th_, 1))
+        else:
+            pairs.append((sa, th_, 0))
+    return pairs
+
+
+def _conv3_kernel(*refs, c, r, co, th, wp, n_tiles, act, with_stats,
+                  has_pro, pact):
+    """refs: xp, xc, xn, wrow, wl, wr, (A, B)?, bias, out, (sum, sq)?, acc.
+
+    xp/xn: one-row top/bottom halos (masked to the conv zero-pad at the
+    image edges); wrow [3, r·C, r·Co] the per-tap-row column stencil; wl/wr
+    [3, C, Co] the left/right column wraps (out col 0 ← prev block slot-col
+    r-1 at tw=0; out col r-1 ← next block slot-col 0 at tw=2).
+    """
+    xp_ref, xc_ref, xn_ref, wr_ref, wl_ref, wrr_ref = refs[:6]
+    pos = 6
+    pro = None
+    if has_pro:
+        pro = (refs[pos], refs[pos + 1], pact)
+        pos += 2
+    bias_ref = refs[pos]
+    o_ref = refs[pos + 1]
+    pos += 2
+    sum_ref = sq_ref = None
+    if with_stats:
+        sum_ref, sq_ref = refs[pos], refs[pos + 1]
+        pos += 2
+    acc = refs[pos]
+
+    i = pl.program_id(1)
+    acc[...] = jnp.zeros_like(acc)
+    rc = r * c
+
+    x = jnp.concatenate([xp_ref[0], xc_ref[0], xn_ref[0]], axis=0)
+    if pro is not None:
+        a_ref, b_ref, pa = pro
+        x = _act(x.astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0], pa).astype(x.dtype)
+    # zero the halos past the image edges AFTER the prologue — the conv's
+    # zero padding lives in the post-norm domain
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    edge = jnp.logical_and(
+        jnp.logical_or(row > 0, i > 0),
+        jnp.logical_or(row < th + 1, i < n_tiles - 1))
+    x = jnp.where(edge, x, jnp.zeros_like(x))
+    wp_p = wp + 8
+    # physical col j of the padded tile holds logical col j-1 so the left
+    # wrap (slot-col r-1 of the PREVIOUS block col) is a plain slice
+    x = jnp.concatenate(
+        [jnp.zeros((th + 2, 1, x.shape[-1]), x.dtype), x,
+         jnp.zeros((th + 2, wp_p - wp - 1, x.shape[-1]), x.dtype)], axis=1)
+
+    for a in range(r):
+        off = a * r * co
+        for sa, th_, dh in _pairs_h_conv(a, r):
+            rows = slice(dh + 1, dh + 1 + th)  # x rows are offset by the halo
+            xs = x[rows, 1 : wp + 1, sa * rc : (sa + 1) * rc]
+            y = jax.lax.dot_general(
+                xs.reshape(th * wp, rc), wr_ref[th_],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(th, wp, r * co)
+            acc[:, :, off : off + r * co] += y
+            # left wrap: out slot-col 0 ← prev block col, slot-col r-1
+            xl = x[rows, 0:wp, (sa * r + r - 1) * c : (sa * r + r) * c]
+            yl = jax.lax.dot_general(
+                xl.reshape(th * wp, c), wl_ref[th_],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(th, wp, co)
+            acc[:, :, off : off + co] += yl
+            # right wrap: out slot-col r-1 ← next block col, slot-col 0
+            xr = x[rows, 2 : wp + 2, sa * rc : sa * rc + c]
+            yr = jax.lax.dot_general(
+                xr.reshape(th * wp, c), wrr_ref[th_],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(th, wp, co)
+            acc[:, :, off + (r - 1) * co : off + r * co] += yr
+
+    y = acc[...] + bias_ref[0].astype(jnp.float32)
+    if with_stats:
+        _stats_update(y, sum_ref, sq_ref, i, th, wp, r * r, co)
+    o_ref[0] = _act(y, act).astype(o_ref.dtype)
+
+
+def packed_conv3x3_stats(
+    x, w, b, r: int,
+    prologue=None,
+    act: str | None = None,
+    with_stats: bool = False,
+    th: int = 4,
+    out_dtype=None,
+):
+    """Stride-1 'same' 3×3 conv on an r-packed map, at true FLOPs.
+
+    x: [N, Hp, Wp, r²·C]; w: [3, 3, C, Co]; b: [Co] or None;
+    prologue: optional (A, B, act) with A, B [N, C] f32 — the input's
+    instance-norm affine + activation fused into the load path.
+    Returns the r-packed conv output (optionally with the (Σy, Σy²) stats
+    of the pre-act output for the next stage's norm).
+    """
+    n, hp, wp, sc = x.shape
+    c, co = w.shape[2], w.shape[3]
+    assert w.shape[:2] == (3, 3) and sc == r * r * c
+    while hp % th:
+        th //= 2
+    n_tiles = hp // th
+    dtype = out_dtype or x.dtype
+
+    # wrow[th_, (sb, c), (qb, co)] = Σ_{tw: sb = qb+tw-1} w[th_, tw, c, co]
+    wrow = jnp.zeros((3, r * c, r * co), w.dtype)
+    for qb in range(r):
+        for tw in range(3):
+            sb = qb + tw - 1
+            if 0 <= sb < r:
+                wrow = wrow.at[
+                    :, sb * c : (sb + 1) * c, qb * co : (qb + 1) * co
+                ].add(w[:, tw])
+    wl = w[:, 0]  # out col 0 ← prev block col slot r-1
+    wr_ = w[:, 2]  # out col r-1 ← next block col slot 0
+
+    bias = (b.astype(jnp.float32) if b is not None
+            else jnp.zeros((co,), jnp.float32))
+    bias_t = jnp.tile(bias, r * r)[None]
+
+    operands = [x, x, x, wrow.astype(x.dtype), wl.astype(x.dtype),
+                wr_.astype(x.dtype)]
+    in_specs = [
+        # one-row top halo (clamped at the first row; masked in-kernel)
+        pl.BlockSpec(
+            (1, 1, wp, sc),
+            lambda b_, i_, _th=th: (b_, jax.lax.max(i_ * _th - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, th, wp, sc), lambda b_, i_: (b_, i_, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, wp, sc),
+            lambda b_, i_, _nt=n_tiles, _th=th: (
+                b_, jax.lax.min((i_ + 1) * _th, _nt * _th - 1), 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, r * c, r * co), lambda b_, i_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, c, co), lambda b_, i_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, c, co), lambda b_, i_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    pact = None
+    has_pro = prologue is not None
+    if has_pro:
+        ops_, specs_, pact = _pro_operands(prologue, n, sc)
+        operands += ops_
+        in_specs += specs_
+    operands.append(bias_t)
+    in_specs.append(pl.BlockSpec((1, r * r * co), lambda b_, i_: (0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    out_specs = [pl.BlockSpec((1, th, wp, r * r * co),
+                              lambda b_, i_: (b_, i_, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n, hp, wp, r * r * co), dtype)]
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, 1, co), lambda b_, i_: (b_, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [jax.ShapeDtypeStruct((n, 1, co), jnp.float32)] * 2
+
+    res = pl.pallas_call(
+        functools.partial(
+            _conv3_kernel, c=c, r=r, co=co, th=th, wp=wp, n_tiles=n_tiles,
+            act=act, with_stats=with_stats, has_pro=has_pro, pact=pact),
+        grid=(n, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs if with_stats else out_specs[0],
+        out_shape=out_shape if with_stats else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((th, wp, r * r * co), jnp.float32)],
+        interpret=_interpret(),
+    )(*operands)
+    if with_stats:
+        return res[0], (res[1][:, 0], res[2][:, 0])
+    return res
