@@ -161,10 +161,27 @@ def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
     rs = np.random.RandomState(0)
     src = jnp.asarray(rs.rand(batch_size, hw, hw, 3) * 2 - 1, jnp.float32)
     ref = jnp.asarray(rs.rand(batch_size, hw, hw, 3) * 2 - 1, jnp.float32)
-    md_vars = jax.jit(det.init)(key, (src + 1) / 2)
-    vs = jax.jit(lambda k, a, b, m: model.init(
-        {"params": k, "noise": k}, a, ref=b, src_mask=m, train=False))(
-        key, src, ref, jnp.zeros((batch_size, hw, hw), jnp.float32))
+    # Param SHAPES via eval_shape (pure tracing, no compile), values filled
+    # host-side: jitting the full 1024² pSp init through the remote TPU
+    # compile relay stalls >30 min, and even the CPU-XLA init compile takes
+    # ~12 min (ROUND2_NOTES). Throughput doesn't depend on init values.
+    dev = jax.devices()[0]
+    mask0 = jnp.zeros((batch_size, hw, hw), jnp.float32)
+    md_shapes = jax.eval_shape(det.init, key, (src + 1) / 2)
+    vs_shapes = jax.eval_shape(
+        lambda k, a, b, m: model.init(
+            {"params": k, "noise": k}, a, ref=b, src_mask=m, train=False),
+        key, src, ref, mask0)
+    fill = np.random.RandomState(2)
+
+    def _host_fill(tree):
+        return jax.device_put(
+            jax.tree.map(
+                lambda s: (fill.randn(*s.shape) * 0.05).astype(s.dtype), tree),
+            dev)
+
+    md_vars = _host_fill(md_shapes)
+    vs = _host_fill(vs_shapes)
 
     # THREE separate jits (detector / encoder / decoder): each compiles in
     # tens of seconds, but fusing the UNet into the encoder graph (or the

@@ -164,8 +164,25 @@ class GradualStyleBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_weights: bool = False):
+        """return_weights: create this block's parameters and return their
+        effective values ([(w, b) per conv], (w, b) of the linear) instead of
+        computing — the encoder stacks same-shaped sibling blocks and runs
+        them as ONE vmapped conv chain (18 unrolled heads = 98 large convs
+        otherwise, which stalls the XLA compile; see GradualStyleEncoder)."""
         num_pools = int(math.log2(self.spatial))
+        if return_weights:
+            conv_ws = []
+            h = x
+            for i in range(num_pools):
+                conv_ws.append(Conv2d(
+                    self.out_c, 3, stride=2, padding=1, dtype=self.dtype,
+                    name=f"conv{i}")(h, return_weights=True))
+                h = jnp.zeros((1, 1, 1, self.out_c), x.dtype)
+            lin = EqualLinear(
+                self.out_c, lr_mul=1, dtype=self.dtype, name="linear")(
+                jnp.zeros((1, self.out_c), x.dtype), return_weights=True)
+            return conv_ws, lin
         for i in range(num_pools):
             x = Conv2d(self.out_c, 3, stride=2, padding=1, dtype=self.dtype, name=f"conv{i}")(x)
             x = jax.nn.leaky_relu(x, 0.01)  # torch nn.LeakyReLU() default slope
@@ -229,21 +246,54 @@ class GradualStyleEncoder(nn.Module):
                 c2 = mask_2 * r2 + (1 - mask_2) * c2
             c1 = mask_1 * r1 + (1 - mask_1) * c1
 
-        latents = []
-        for j in range(self.coarse_ind):
-            latents.append(GradualStyleBlock(512, 16, dtype=self.dtype, name=f"styles_{j}")(c3))
+        # Each pyramid level's style heads are same-shaped sibling blocks fed
+        # the SAME input — stack their params and run ONE vmapped conv chain
+        # per level. Identical math and parameter tree to 18 unrolled
+        # GradualStyleBlocks, but ~6x fewer conv nodes in the graph (the
+        # unrolled form's 98 [3,3,512,512] convs stall the XLA compile).
+        coarse = self._stacked_styles(range(self.coarse_ind), c3, 16)
 
         lat1 = Conv2d(512, 1, dtype=self.dtype, name="latlayer1")(c2)
         p2 = bilinear_resize(c3, lat1.shape[1:3], align_corners=True) + lat1
-        for j in range(self.coarse_ind, self.middle_ind):
-            latents.append(GradualStyleBlock(512, 32, dtype=self.dtype, name=f"styles_{j}")(p2))
+        middle = self._stacked_styles(
+            range(self.coarse_ind, self.middle_ind), p2, 32)
 
         lat2 = Conv2d(512, 1, dtype=self.dtype, name="latlayer2")(c1)
         p1 = bilinear_resize(p2, lat2.shape[1:3], align_corners=True) + lat2
-        for j in range(self.middle_ind, self.n_styles):
-            latents.append(GradualStyleBlock(512, 64, dtype=self.dtype, name=f"styles_{j}")(p1))
+        fine = self._stacked_styles(
+            range(self.middle_ind, self.n_styles), p1, 64)
 
-        return jnp.stack(latents, axis=1)  # [N, n_styles, 512]
+        return jnp.concatenate([coarse, middle, fine], axis=1)  # [N, 18, 512]
+
+    def _stacked_styles(self, idxs, x, spatial):
+        """Run the group's GradualStyleBlocks as one vmapped chain."""
+        from face_mask_inpaint_tpu.ops.conv import conv2d
+
+        weights = [
+            GradualStyleBlock(512, spatial, dtype=self.dtype,
+                              name=f"styles_{j}")(x, return_weights=True)
+            for j in idxs
+        ]
+        num_pools = int(math.log2(spatial))
+        h = x.astype(self.dtype)
+        for i in range(num_pools):
+            wi = jnp.stack([w[0][i][0] for w in weights])  # [G, 3, 3, ci, co]
+            bi = jnp.stack([w[0][i][1] for w in weights])  # [G, co]
+            if i == 0:
+                y = jax.vmap(
+                    lambda w, b, _h=h: conv2d(_h, w, b, stride=2, padding=1)
+                )(wi, bi)
+            else:
+                y = jax.vmap(
+                    lambda hh, w, b: conv2d(hh, w, b, stride=2, padding=1)
+                )(h, wi, bi)
+            h = jax.nn.leaky_relu(y, 0.01)  # [G, N, s, s, 512]
+        g, n = h.shape[0], h.shape[1]
+        h = h.reshape(g, n, 512)
+        wl = jnp.stack([w[1][0] for w in weights])  # [G, 512, 512]
+        bl = jnp.stack([w[1][1] for w in weights])  # [G, 512]
+        out = jnp.einsum("gnc,gcd->gnd", h, wl) + bl[:, None]
+        return out.transpose(1, 0, 2)  # [N, G, 512]
 
 
 class BackboneEncoderUsingLastLayerIntoW(nn.Module):

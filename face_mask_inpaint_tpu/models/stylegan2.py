@@ -84,7 +84,7 @@ class EqualLinear(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_weights: bool = False):
         in_dim = x.shape[-1]
         w = self.param(
             "weight",
@@ -98,6 +98,12 @@ class EqualLinear(nn.Module):
                 "bias", lambda k, s: jnp.full(s, self.bias_init, jnp.float32),
                 (self.out_dim,),
             )
+        if return_weights:
+            # effective (w, b) with the equalized-lr scaling folded in
+            # (y = x @ w + b); for stacked/vmapped consumers
+            assert self.activation is None
+            return ((w * scale).astype(self.dtype),
+                    (b * self.lr_mul).astype(self.dtype) if b is not None else None)
         y = x.astype(self.dtype) @ (w * scale).astype(self.dtype)
         if self.activation == "fused_lrelu":
             return fused_leaky_relu(y, (b * self.lr_mul).astype(y.dtype) if b is not None else None)

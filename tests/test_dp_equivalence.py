@@ -67,10 +67,12 @@ def test_dp_step_matches_single_device():
                                    atol=1e-5, err_msg=k)
     # parameter updates identical up to f32 reduction-order noise. NB: Adam
     # normalizes by sqrt(E[g^2]), so for near-zero gradients the UPDATE
-    # direction is sign-noise — compare with an absolute tolerance that is a
-    # small fraction of one optimizer step (lr=1e-3).
+    # direction is pure sign-noise under reassociation (e.g. conv biases
+    # feeding instance norm, whose gradient is cancelling big terms) —
+    # compare with an absolute tolerance of a quarter of one optimizer step
+    # (lr=1e-3).
     flat1 = jax.tree.leaves(s1.generator.params)
     flat8 = jax.tree.leaves(jax.device_get(s8.generator.params))
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
-                                   atol=1e-4)
+                                   atol=2.5e-4)
