@@ -183,19 +183,21 @@ def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
     md_vars = _host_fill(md_shapes)
     vs = _host_fill(vs_shapes)
 
-    # THREE separate jits (detector / encoder / decoder): each compiles in
-    # tens of seconds, but fusing the UNet into the encoder graph (or the
-    # whole pipeline) stalls this box's remote compiler for >10 min
-    # (ROUND2_NOTES) — the same program jits in seconds on local XLA.
+    # FOUR separate jits (detector / backbone taps / fusion+styles /
+    # decoder): the fused pipeline — and even the two-backbone PSP.encode —
+    # stalls or crashes this box's remote compile helper (ROUND2_NOTES);
+    # the backbone program compiles ONCE and serves both src and ref.
     mdf = jax.jit(lambda s: det.apply(
         md_vars, (s + 1) / 2, method=MaskDetector.predict_mask))
-    enc = jax.jit(lambda a, b, m: model.apply(
-        vs, a, ref=b, src_mask=m, train=False, method=PSP.encode))
+    taps = jax.jit(lambda img: model.apply(
+        vs, img, train=False, method=PSP.encode_taps))
+    fuse = jax.jit(lambda st, rt, m: model.apply(
+        vs, st, rt, m, train=False, method=PSP.encode_from_taps))
     dec = jax.jit(lambda c: jnp.clip(model.apply(
         vs, c, randomize_noise=False, method=PSP.decode), -1.0, 1.0))
 
     def step(src_img):
-        return dec(enc(src_img, ref, mdf(src_img)))
+        return dec(fuse(taps(src_img), taps(ref), mdf(src_img)))
 
     dt = _chain_time(step, src, steps)
     return batch_size / dt

@@ -208,39 +208,49 @@ class GradualStyleEncoder(nn.Module):
     coarse_ind: int = 3
     middle_ind: int = 7
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,
-        ref: Optional[jax.Array] = None,
-        mask: Optional[jax.Array] = None,
-        train: bool = True,
-    ) -> jax.Array:
-        input_layer = _InputLayer(dtype=self.dtype, name="input_layer")
-        body = _IRBody(self.num_layers, self.mode, dtype=self.dtype, name="body")
+    def setup(self):
+        # setup-style (not compact) so serving/benchmarks can jit
+        # backbone_taps and fuse_styles as separate programs — the fused
+        # two-backbone encode graph stalls/crashes the remote AOT compile
+        # helper (ROUND2_NOTES relay gotchas)
+        self.input_layer = _InputLayer(dtype=self.dtype)
+        self.body = _IRBody(self.num_layers, self.mode, dtype=self.dtype)
+        self.latlayer1 = Conv2d(512, 1, dtype=self.dtype)
+        self.latlayer2 = Conv2d(512, 1, dtype=self.dtype)
+        if self.use_attention:
+            self.attention1 = ExampleGuidedAttention(
+                out_channels=512, dtype=self.dtype)
+            self.attention2 = ExampleGuidedAttention(
+                out_channels=256, dtype=self.dtype)
+        for j in range(self.n_styles):
+            spatial = (16 if j < self.coarse_ind
+                       else 32 if j < self.middle_ind else 64)
+            setattr(self, f"styles_{j}",
+                    GradualStyleBlock(512, spatial, dtype=self.dtype))
 
-        h = input_layer(x, train=train)
-        _, taps = body(h, train=train, tap_indices=(6, 20, 23))
-        c1, c2, c3 = taps[6], taps[20], taps[23]
+    def backbone_taps(self, x: jax.Array, train: bool = False):
+        """One IR-SE backbone pass -> (c1, c2, c3) pyramid taps. Jittable on
+        its own; src and ref reuse the same compiled program."""
+        h = self.input_layer(x, train=train)
+        _, taps = self.body(h, train=train, tap_indices=(6, 20, 23))
+        return taps[6], taps[20], taps[23]
 
-        if ref is not None:
+    def fuse_styles(self, src_taps, ref_taps=None, mask=None,
+                    train: bool = False) -> jax.Array:
+        """Reference fusion + FPN + the 18 style heads -> [N, 18, 512]."""
+        c1, c2, c3 = src_taps
+        if ref_taps is not None:
             assert mask is not None, "ref and mask should both be provided"
             m = mask[..., None].astype(c3.dtype)  # [N, H, W, 1]
-            r = input_layer(ref, train=train)
-            _, rtaps = body(r, train=train, tap_indices=(6, 20, 23))
-            r1, r2, r3 = rtaps[6], rtaps[20], rtaps[23]
+            r1, r2, r3 = ref_taps
 
             mask_3 = scale_img(m, r3.shape[1:3])
             mask_2 = scale_img(m, r2.shape[1:3])
             mask_1 = scale_img(m, r1.shape[1:3])
 
             if self.use_attention:
-                c3 = ExampleGuidedAttention(
-                    out_channels=512, dtype=self.dtype, name="attention1"
-                )(mask_3, c3, r3)
-                c2 = ExampleGuidedAttention(
-                    out_channels=256, dtype=self.dtype, name="attention2"
-                )(mask_2, c2, r2)
+                c3 = self.attention1(mask_3, c3, r3)
+                c2 = self.attention2(mask_2, c2, r2)
             else:
                 c3 = mask_3 * r3 + (1 - mask_3) * c3
                 c2 = mask_2 * r2 + (1 - mask_2) * c2
@@ -253,25 +263,36 @@ class GradualStyleEncoder(nn.Module):
         # unrolled form's 98 [3,3,512,512] convs stall the XLA compile).
         coarse = self._stacked_styles(range(self.coarse_ind), c3, 16)
 
-        lat1 = Conv2d(512, 1, dtype=self.dtype, name="latlayer1")(c2)
+        lat1 = self.latlayer1(c2)
         p2 = bilinear_resize(c3, lat1.shape[1:3], align_corners=True) + lat1
         middle = self._stacked_styles(
             range(self.coarse_ind, self.middle_ind), p2, 32)
 
-        lat2 = Conv2d(512, 1, dtype=self.dtype, name="latlayer2")(c1)
+        lat2 = self.latlayer2(c1)
         p1 = bilinear_resize(p2, lat2.shape[1:3], align_corners=True) + lat2
         fine = self._stacked_styles(
             range(self.middle_ind, self.n_styles), p1, 64)
 
         return jnp.concatenate([coarse, middle, fine], axis=1)  # [N, 18, 512]
 
+    def __call__(
+        self,
+        x: jax.Array,
+        ref: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+    ) -> jax.Array:
+        src_taps = self.backbone_taps(x, train=train)
+        ref_taps = (self.backbone_taps(ref, train=train)
+                    if ref is not None else None)
+        return self.fuse_styles(src_taps, ref_taps, mask, train=train)
+
     def _stacked_styles(self, idxs, x, spatial):
         """Run the group's GradualStyleBlocks as one vmapped chain."""
         from face_mask_inpaint_tpu.ops.conv import conv2d
 
         weights = [
-            GradualStyleBlock(512, spatial, dtype=self.dtype,
-                              name=f"styles_{j}")(x, return_weights=True)
+            getattr(self, f"styles_{j}")(x, return_weights=True)
             for j in idxs
         ]
         num_pools = int(math.log2(spatial))

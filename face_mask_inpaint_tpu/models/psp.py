@@ -137,6 +137,9 @@ class PSP(nn.Module):
         decoder as two programs — the single fused graph exceeds some
         remote-compile budgets (ROUND1_NOTES item 6)."""
         codes = self.encoder(x, ref=ref, mask=src_mask, train=train)
+        return self._add_latent_avg(codes)
+
+    def _add_latent_avg(self, codes: jax.Array) -> jax.Array:
         if self.start_from_latent_avg:
             avg = self.latent_avg.value.astype(codes.dtype)
             if self.learn_in_w:
@@ -144,6 +147,19 @@ class PSP(nn.Module):
             else:
                 codes = codes + avg[None, :, :]
         return codes
+
+    def encode_taps(self, x: jax.Array, train: bool = False):
+        """One backbone pass -> pyramid taps (GradualStyleEncoder only).
+        Serving/benchmarks jit this once and call it for src AND ref — the
+        fused two-backbone encode graph stalls the remote AOT compiler."""
+        return self.encoder.backbone_taps(x, train=train)
+
+    def encode_from_taps(self, src_taps, ref_taps=None,
+                         src_mask=None, train: bool = False) -> jax.Array:
+        """Fusion + FPN + style heads + latent_avg offset -> w+ codes."""
+        codes = self.encoder.fuse_styles(
+            src_taps, ref_taps, src_mask, train=train)
+        return self._add_latent_avg(codes)
 
     def decode(
         self,
