@@ -175,31 +175,71 @@ def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
     fill = np.random.RandomState(2)
 
     def _host_fill(tree):
-        return jax.device_put(
-            jax.tree.map(
-                lambda s: (fill.randn(*s.shape) * 0.05).astype(s.dtype), tree),
-            dev)
+        # fan-in-scaled (lecun-ish) so activations stay O(1) and varied —
+        # flat small scales saturate the tanh output to a constant image,
+        # the chained inputs collide, and the relay's (executable, input)
+        # memoization returns instantly (a 1000+ imgs/s "measurement")
+        def leaf(s):
+            fan_in = int(np.prod(s.shape[:-1])) if len(s.shape) > 1 else 1
+            return (fill.randn(*s.shape) / np.sqrt(max(fan_in, 1))).astype(s.dtype)
+
+        return jax.device_put(jax.tree.map(leaf, tree), dev)
 
     md_vars = _host_fill(md_shapes)
     vs = _host_fill(vs_shapes)
 
-    # FOUR separate jits (detector / backbone taps / fusion+styles /
-    # decoder): the fused pipeline — and even the two-backbone PSP.encode —
-    # stalls or crashes this box's remote compile helper (ROUND2_NOTES);
-    # the backbone program compiles ONCE and serves both src and ref.
-    mdf = jax.jit(lambda s: det.apply(
-        md_vars, (s + 1) / 2, method=MaskDetector.predict_mask))
-    taps = jax.jit(lambda img: model.apply(
-        vs, img, train=False, method=PSP.encode_taps))
-    fuse = jax.jit(lambda st, rt, m: model.apply(
-        vs, st, rt, m, train=False, method=PSP.encode_from_taps))
-    dec = jax.jit(lambda c: jnp.clip(model.apply(
-        vs, c, randomize_noise=False, method=PSP.decode), -1.0, 1.0))
+    # SEVEN small programs (detector / backbone taps / fusion+FPN / three
+    # style levels / finalize+decoder): the fused pipeline — and even the
+    # combined fusion+styles graph — stalls or crashes this box's remote
+    # AOT compile helper, while the same math in pieces compiles in seconds
+    # (ROUND2_NOTES); the backbone program compiles ONCE for src and ref.
+    # Params are jit ARGUMENTS, not closures: closed-over trees embed as
+    # constants in the serialized program and blow the relay's request-size
+    # limit (HTTP 413) / upload minutes of payload per compile.
+    mdf = jax.jit(lambda v, s: det.apply(
+        v, (s + 1) / 2, method=MaskDetector.predict_mask))
+    taps = jax.jit(lambda v, img: model.apply(
+        v, img, train=False, method=PSP.encode_taps))
+    pyramid = jax.jit(lambda v, st, rt, m: model.apply(
+        v, st, rt, m, train=False, method=PSP.encode_pyramid))
+    levels = [
+        jax.jit(lambda v, x, _l=lvl: model.apply(
+            v, _l, x, method=PSP.encode_styles_level))
+        for lvl in range(3)
+    ]
+    dec = jax.jit(lambda v, c0, c1, c2: jnp.clip(model.apply(
+        v, method=lambda m, a, b, cc: m.decode(
+            m.finalize_codes(a, b, cc), randomize_noise=False),
+        a=c0, b=c1, cc=c2), -1.0, 1.0))
+
+    san = jax.jit(lambda img, base: jnp.clip(
+        jnp.nan_to_num(img) + jnp.roll(base, 1, axis=2), -1.0, 1.0))
 
     def step(src_img):
-        return dec(fuse(taps(src_img), taps(ref), mdf(src_img)))
+        c3, p2, p1 = pyramid(vs, taps(vs, src_img), taps(vs, ref),
+                             mdf(md_vars, src_img))
+        out = dec(vs, levels[0](vs, c3), levels[1](vs, p2),
+                  levels[2](vs, p1))
+        # random weights can NaN the deep synthesis stack; NaN chains are
+        # bitwise-identical across iterations and let the relay shortcut —
+        # sanitize and mix in the previous input so every batch is fresh
+        return san(out, src_img)
 
-    dt = _chain_time(step, src, steps)
+    # per-iteration block_until_ready: on this box's relay, blocking only on
+    # the FINAL value of a multi-program chain returns without waiting for
+    # the intermediate executables (measured 760+ "imgs/s" vs 92 ms/batch
+    # when each iteration is fenced) — fence every step; the lost
+    # dispatch/device overlap undercounts slightly, which is the honest side
+    x = step(src)
+    jax.block_until_ready(x)
+    for _ in range(3):
+        x = step(x)
+        jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = step(x)
+        jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / steps
     return batch_size / dt
 
 

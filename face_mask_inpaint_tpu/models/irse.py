@@ -235,9 +235,33 @@ class GradualStyleEncoder(nn.Module):
         _, taps = self.body(h, train=train, tap_indices=(6, 20, 23))
         return taps[6], taps[20], taps[23]
 
-    def fuse_styles(self, src_taps, ref_taps=None, mask=None,
-                    train: bool = False) -> jax.Array:
-        """Reference fusion + FPN + the 18 style heads -> [N, 18, 512]."""
+    def fuse_pyramid(self, src_taps, ref_taps=None, mask=None,
+                     train: bool = False):
+        """Reference fusion + FPN only -> (c3, p2, p1) style-head inputs.
+        Split out so serving/benchmarks can jit it separately from the
+        style-head levels: the combined fuse_styles graph compiles in
+        seconds piecewise but blows up super-linearly as one program on the
+        remote AOT compiler (measured 25 s in pieces vs 10+ min whole)."""
+        del train
+        c1, c2, c3 = self._fused_taps(src_taps, ref_taps, mask)
+        lat1 = self.latlayer1(c2)
+        p2 = bilinear_resize(c3, lat1.shape[1:3], align_corners=True) + lat1
+        lat2 = self.latlayer2(c1)
+        p1 = bilinear_resize(p2, lat2.shape[1:3], align_corners=True) + lat2
+        return c3, p2, p1
+
+    def styles_level(self, level: int, x: jax.Array) -> jax.Array:
+        """One pyramid level's style heads: 0 coarse(c3) / 1 middle(p2) /
+        2 fine(p1) -> [N, G_level, 512]."""
+        if level == 0:
+            return self._stacked_styles(range(self.coarse_ind), x, 16)
+        if level == 1:
+            return self._stacked_styles(
+                range(self.coarse_ind, self.middle_ind), x, 32)
+        return self._stacked_styles(
+            range(self.middle_ind, self.n_styles), x, 64)
+
+    def _fused_taps(self, src_taps, ref_taps, mask):
         c1, c2, c3 = src_taps
         if ref_taps is not None:
             assert mask is not None, "ref and mask should both be provided"
@@ -255,25 +279,19 @@ class GradualStyleEncoder(nn.Module):
                 c3 = mask_3 * r3 + (1 - mask_3) * c3
                 c2 = mask_2 * r2 + (1 - mask_2) * c2
             c1 = mask_1 * r1 + (1 - mask_1) * c1
+        return c1, c2, c3
 
-        # Each pyramid level's style heads are same-shaped sibling blocks fed
-        # the SAME input — stack their params and run ONE vmapped conv chain
-        # per level. Identical math and parameter tree to 18 unrolled
-        # GradualStyleBlocks, but ~6x fewer conv nodes in the graph (the
-        # unrolled form's 98 [3,3,512,512] convs stall the XLA compile).
-        coarse = self._stacked_styles(range(self.coarse_ind), c3, 16)
-
-        lat1 = self.latlayer1(c2)
-        p2 = bilinear_resize(c3, lat1.shape[1:3], align_corners=True) + lat1
-        middle = self._stacked_styles(
-            range(self.coarse_ind, self.middle_ind), p2, 32)
-
-        lat2 = self.latlayer2(c1)
-        p1 = bilinear_resize(p2, lat2.shape[1:3], align_corners=True) + lat2
-        fine = self._stacked_styles(
-            range(self.middle_ind, self.n_styles), p1, 64)
-
-        return jnp.concatenate([coarse, middle, fine], axis=1)  # [N, 18, 512]
+    def fuse_styles(self, src_taps, ref_taps=None, mask=None,
+                    train: bool = False) -> jax.Array:
+        """Reference fusion + FPN + the 18 style heads -> [N, 18, 512].
+        Each pyramid level's style heads are same-shaped sibling blocks fed
+        the SAME input — their parameters stack and the level runs as ONE
+        scanned conv chain (identical math and parameter tree to 18
+        unrolled GradualStyleBlocks; see _stacked_styles)."""
+        c3, p2, p1 = self.fuse_pyramid(src_taps, ref_taps, mask, train=train)
+        return jnp.concatenate(
+            [self.styles_level(0, c3), self.styles_level(1, p2),
+             self.styles_level(2, p1)], axis=1)  # [N, 18, 512]
 
     def __call__(
         self,
@@ -288,7 +306,12 @@ class GradualStyleEncoder(nn.Module):
         return self.fuse_styles(src_taps, ref_taps, mask, train=train)
 
     def _stacked_styles(self, idxs, x, spatial):
-        """Run the group's GradualStyleBlocks as one vmapped chain."""
+        """Run the group's GradualStyleBlocks as ONE lax.scan over their
+        stacked parameters: the graph holds a single conv chain regardless
+        of group size (vs 18 unrolled heads = 98 large convs, which stalls
+        the remote AOT compile; a vmapped variant lowers to batch-grouped
+        convs that stall it too — scanned plain convs compile fast and the
+        serial G iterations are real MXU work either way)."""
         from face_mask_inpaint_tpu.ops.conv import conv2d
 
         weights = [
@@ -296,25 +319,29 @@ class GradualStyleEncoder(nn.Module):
             for j in idxs
         ]
         num_pools = int(math.log2(spatial))
-        h = x.astype(self.dtype)
-        for i in range(num_pools):
-            wi = jnp.stack([w[0][i][0] for w in weights])  # [G, 3, 3, ci, co]
-            bi = jnp.stack([w[0][i][1] for w in weights])  # [G, co]
-            if i == 0:
-                y = jax.vmap(
-                    lambda w, b, _h=h: conv2d(_h, w, b, stride=2, padding=1)
-                )(wi, bi)
-            else:
-                y = jax.vmap(
-                    lambda hh, w, b: conv2d(hh, w, b, stride=2, padding=1)
-                )(h, wi, bi)
-            h = jax.nn.leaky_relu(y, 0.01)  # [G, N, s, s, 512]
-        g, n = h.shape[0], h.shape[1]
-        h = h.reshape(g, n, 512)
-        wl = jnp.stack([w[1][0] for w in weights])  # [G, 512, 512]
-        bl = jnp.stack([w[1][1] for w in weights])  # [G, 512]
-        out = jnp.einsum("gnc,gcd->gnd", h, wl) + bl[:, None]
-        return out.transpose(1, 0, 2)  # [N, G, 512]
+        stacked = {
+            f"w{i}": jnp.stack([w[0][i][0] for w in weights])
+            for i in range(num_pools)
+        }
+        stacked.update({
+            f"b{i}": jnp.stack([w[0][i][1] for w in weights])
+            for i in range(num_pools)
+        })
+        stacked["wl"] = jnp.stack([w[1][0] for w in weights])
+        stacked["bl"] = jnp.stack([w[1][1] for w in weights])
+        xd = x.astype(self.dtype)
+        n = xd.shape[0]
+
+        def one_block(carry, ws):
+            h = xd
+            for i in range(num_pools):
+                h = conv2d(h, ws[f"w{i}"], ws[f"b{i}"], stride=2, padding=1)
+                h = jax.nn.leaky_relu(h, 0.01)
+            out = h.reshape(n, 512) @ ws["wl"] + ws["bl"][None]
+            return carry, out
+
+        _, outs = jax.lax.scan(one_block, None, stacked)  # [G, N, 512]
+        return outs.transpose(1, 0, 2)  # [N, G, 512]
 
 
 class BackboneEncoderUsingLastLayerIntoW(nn.Module):

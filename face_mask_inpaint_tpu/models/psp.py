@@ -161,6 +161,23 @@ class PSP(nn.Module):
             src_taps, ref_taps, src_mask, train=train)
         return self._add_latent_avg(codes)
 
+    def encode_pyramid(self, src_taps, ref_taps=None, src_mask=None,
+                       train: bool = False):
+        """Fusion + FPN -> (c3, p2, p1); finest-grained split for the
+        remote AOT compiler, which blows up super-linearly on the combined
+        encode_from_taps graph (its pieces compile in seconds)."""
+        return self.encoder.fuse_pyramid(
+            src_taps, ref_taps, src_mask, train=train)
+
+    def encode_styles_level(self, level: int, x: jax.Array) -> jax.Array:
+        """One style-head level over its pyramid input -> [N, G, 512]."""
+        return self.encoder.styles_level(level, x)
+
+    def finalize_codes(self, coarse, middle, fine) -> jax.Array:
+        """Concat the level outputs + latent_avg offset -> w+ codes."""
+        return self._add_latent_avg(
+            jnp.concatenate([coarse, middle, fine], axis=1))
+
     def decode(
         self,
         codes: jax.Array,
