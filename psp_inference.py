@@ -62,6 +62,13 @@ def get_args():
                         help='Path to StyleGAN model weights')
     from face_mask_inpaint_tpu.utils.profiling import add_profile_args
     add_profile_args(parser)
+    parser.add_argument('--split_jit', default=-1, type=int,
+                        help='1: jit the pSp pipeline as several small '
+                             'programs (detector/backbone/pyramid/style '
+                             'levels/decoder) instead of one fused graph; '
+                             '-1 (auto) enables it on remote-compile '
+                             'backends where the fused graph stalls the '
+                             'AOT compiler')
     args = parser.parse_args()
 
     args.src_img_path = os.path.join(args.data_root, args.src_img_path)
@@ -122,17 +129,47 @@ def main():
     init_kwargs = dict(ref=src0, src_mask=jnp.zeros((1, *hw)), train=False)
     g_vars = load_psp_vars(generator, args, (src0,), init_kwargs)
 
-    @jax.jit
-    def infer_batch(src_img, ref_img, rng):
-        src_mask = mask_detector.apply(md_vars, (src_img + 1) / 2,
-                                       method=MaskDetector.predict_mask)
-        gen, _ = generator.apply(
-            g_vars, src_img,
-            ref=ref_img if args.use_ref else None,
-            src_mask=src_mask if args.use_ref else None,
-            return_latents=True, resize=True, randomize_noise=False,
-            train=False, rngs={'noise': rng})
-        return gen, src_mask
+    use_split = (bool(args.split_jit) if args.split_jit >= 0
+                 else jax.devices()[0].platform == 'axon')
+    if use_split and args.encoder_type == 'GradualStyleEncoder':
+        # several small programs (params as args — closed-over trees embed
+        # as constants and blow remote-compile request limits); the fused
+        # graph stalls/crashes remote AOT compile helpers (ROUND2_NOTES)
+        mdf = jax.jit(lambda v, s: mask_detector.apply(
+            v, (s + 1) / 2, method=MaskDetector.predict_mask))
+        taps = jax.jit(lambda v, img: generator.apply(
+            v, img, train=False, method=PSP.encode_taps))
+        pyramid = jax.jit(lambda v, st, rt, m: generator.apply(
+            v, st, rt, m, train=False, method=PSP.encode_pyramid))
+        levels = [jax.jit(lambda v, x, _l=lvl: generator.apply(
+            v, _l, x, method=PSP.encode_styles_level)) for lvl in range(3)]
+        dec = jax.jit(lambda v, c0, c1, c2: generator.apply(
+            v, method=lambda m, a, b, c: m.decode(
+                m.finalize_codes(a, b, c), resize=True,
+                randomize_noise=False), a=c0, b=c1, c=c2))
+
+        def infer_batch(src_img, ref_img, rng):
+            del rng  # randomize_noise=False
+            src_mask = mdf(md_vars, src_img)
+            st = taps(g_vars, src_img)
+            rt = taps(g_vars, ref_img) if args.use_ref else None
+            c3, p2, p1 = pyramid(g_vars, st, rt,
+                                 src_mask if args.use_ref else None)
+            gen = dec(g_vars, levels[0](g_vars, c3), levels[1](g_vars, p2),
+                      levels[2](g_vars, p1))
+            return gen, src_mask
+    else:
+        @jax.jit
+        def infer_batch(src_img, ref_img, rng):
+            src_mask = mask_detector.apply(md_vars, (src_img + 1) / 2,
+                                           method=MaskDetector.predict_mask)
+            gen, _ = generator.apply(
+                g_vars, src_img,
+                ref=ref_img if args.use_ref else None,
+                src_mask=src_mask if args.use_ref else None,
+                return_latents=True, resize=True, randomize_noise=False,
+                train=False, rngs={'noise': rng})
+            return gen, src_mask
 
     run_name = os.path.split(os.path.split(str(args.pt_ckpt_path))[0])[1]
     out_dir = Path(f'test_results/{run_name}')

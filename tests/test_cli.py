@@ -123,6 +123,9 @@ def test_psp_inference_cli(tree, tmp_path):
         "--pt_ckpt_path", str(tmp_path / "none" / "ckpt"),
         "--batch_size", "2", "--output_size", "64", "--use_ref",
         "--start_from_latent_avg",
+        # exercise the split-jit path (auto only enables it on remote-compile
+        # backends; the fused path is covered by the gradio/train CLI tests)
+        "--split_jit", "1",
     ], cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-3000:]
     out_dir = tmp_path / "test_results" / "none"
