@@ -47,15 +47,45 @@ class ModelInterface:
             self.generator, args, (src0,),
             dict(ref=src0, src_mask=jnp.zeros((1, 256, 256)), train=False))
 
-        @jax.jit
-        def _infer(src_img, ref_img):
-            src_mask = self.mask_detector.apply(
-                self.md_vars, (src_img + 1) / 2, method=MaskDetector.predict_mask)
-            gen = self.generator.apply(
-                self.g_vars, src_img, ref=ref_img, src_mask=src_mask,
-                resize=True, randomize_noise=False, train=False,
-                rngs={'noise': jax.random.PRNGKey(0)})
-            return gen, src_mask
+        split = (jax.devices()[0].platform == 'axon'
+                 and args.encoder_type == 'GradualStyleEncoder')
+        if split:
+            # several small programs: the fused graph stalls remote AOT
+            # compile helpers (see psp_inference --split_jit / ROUND2_NOTES)
+            mdf = jax.jit(lambda v, s: self.mask_detector.apply(
+                v, (s + 1) / 2, method=MaskDetector.predict_mask))
+            taps = jax.jit(lambda v, img: self.generator.apply(
+                v, img, train=False, method=PSP.encode_taps))
+            pyramid = jax.jit(lambda v, st, rt, m: self.generator.apply(
+                v, st, rt, m, train=False, method=PSP.encode_pyramid))
+            levels = [jax.jit(lambda v, x, _l=lvl: self.generator.apply(
+                v, _l, x, method=PSP.encode_styles_level))
+                for lvl in range(3)]
+            dec = jax.jit(lambda v, c0, c1, c2: self.generator.apply(
+                v, method=lambda m, a, b, c: m.decode(
+                    m.finalize_codes(a, b, c), resize=True,
+                    randomize_noise=False), a=c0, b=c1, c=c2))
+
+            def _infer(src_img, ref_img):
+                src_mask = mdf(self.md_vars, src_img)
+                c3, p2, p1 = pyramid(
+                    self.g_vars, taps(self.g_vars, src_img),
+                    taps(self.g_vars, ref_img), src_mask)
+                gen = dec(self.g_vars, levels[0](self.g_vars, c3),
+                          levels[1](self.g_vars, p2),
+                          levels[2](self.g_vars, p1))
+                return gen, src_mask
+        else:
+            @jax.jit
+            def _infer(src_img, ref_img):
+                src_mask = self.mask_detector.apply(
+                    self.md_vars, (src_img + 1) / 2,
+                    method=MaskDetector.predict_mask)
+                gen = self.generator.apply(
+                    self.g_vars, src_img, ref=ref_img, src_mask=src_mask,
+                    resize=True, randomize_noise=False, train=False,
+                    rngs={'noise': jax.random.PRNGKey(0)})
+                return gen, src_mask
 
         self._infer = _infer
 

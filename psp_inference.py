@@ -78,9 +78,34 @@ def get_args():
     return args
 
 
-def load_psp_vars(model, args, init_args, init_kwargs):
+def _psp_variables_skeleton(model, init_args, init_kwargs):
+    """Variable tree with the right structure/shapes via eval_shape (pure
+    tracing) + host-side fan-in-scaled fill. Real checkpoints overwrite
+    every leaf; eager `model.init` of the full pSp dispatches thousands of
+    ops (minutes through a remote-execution relay) and its jit stalls the
+    remote AOT compiler (ROUND2_NOTES)."""
     rngs = {'params': jax.random.PRNGKey(0), 'noise': jax.random.PRNGKey(0)}
-    variables = model.init(rngs, *init_args, **init_kwargs)
+    shapes = jax.eval_shape(
+        lambda: model.init(rngs, *init_args, **init_kwargs))
+    fill = np.random.RandomState(0)
+    import flax.traverse_util as tu
+
+    def leaf(path, s):
+        name = path[-1]
+        if name in ("var", "scale"):  # BN running var / norm scales
+            return jnp.ones(s.shape, s.dtype)
+        if name in ("mean", "bias"):
+            return jnp.zeros(s.shape, s.dtype)
+        fan_in = int(np.prod(s.shape[:-1])) if len(s.shape) > 1 else 1
+        return jnp.asarray(
+            (fill.randn(*s.shape) / np.sqrt(max(fan_in, 1))).astype(s.dtype))
+
+    flat = tu.flatten_dict(shapes)
+    return tu.unflatten_dict({k: leaf(k, v) for k, v in flat.items()})
+
+
+def load_psp_vars(model, args, init_args, init_kwargs):
+    variables = _psp_variables_skeleton(model, init_args, init_kwargs)
     path = args.pt_ckpt_path
     if path and str(path).endswith(('.pth', '.pt')) and Path(path).is_file():
         from face_mask_inpaint_tpu.tools.convert_torch import (
