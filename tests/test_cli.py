@@ -26,7 +26,7 @@ def run_cli(args, cwd):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, *args], cwd=cwd, env=env, capture_output=True,
-        text=True, timeout=1200,
+        text=True, timeout=2400,
     )
 
 
