@@ -168,7 +168,7 @@ class GradualStyleBlock(nn.Module):
         """return_weights: create this block's parameters and return their
         effective values ([(w, b) per conv], (w, b) of the linear) instead of
         computing — the encoder stacks same-shaped sibling blocks and runs
-        them as ONE vmapped conv chain (18 unrolled heads = 98 large convs
+        them as ONE scanned conv chain (18 unrolled heads = 98 large convs
         otherwise, which stalls the XLA compile; see GradualStyleEncoder)."""
         num_pools = int(math.log2(self.spatial))
         if return_weights:

@@ -308,7 +308,15 @@ class ConvTranspose2d(nn.Module, _SpectralMixin):
             (self.kernel_size, self.kernel_size, in_ch, self.features),
         )
         if self.use_spect:
-            w = self._spectral_normalize(w, self.features)
+            # torch matricizes ConvTranspose2d's IOHW weight with the IN
+            # axis as rows ([in, out*k*k], external_function.py:30-41) — a
+            # DIFFERENT unfolding than the conv case, with a different
+            # sigma. Permute so our shared power iteration sees the same
+            # matrix (rows<->cols transposed; sigma is transpose-invariant).
+            w = jnp.transpose(
+                self._spectral_normalize(
+                    jnp.transpose(w, (0, 1, 3, 2)), in_ch),
+                (0, 1, 3, 2))
         b = (
             self.param("bias", self.bias_init, (self.features,))
             if self.use_bias

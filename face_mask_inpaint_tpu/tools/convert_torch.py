@@ -111,14 +111,25 @@ def sn_conv(sd: dict, prefix: str, transpose: bool = False):
     w = sd[f"{base}.weight_bar"]
     u = sd[f"{base}.weight_u"]
     kernel = convt_w(w) if transpose else conv_w(w)
-    out_dim = kernel.shape[-1]
-    w_mat = kernel.reshape(-1, out_dim)
-    # torch's u is over dim0 of the torch layout; for convT (in-first) that
-    # axis is not our out axis — re-initialize from a fresh iteration then.
-    if u.shape[0] == out_dim:
+    if transpose:
+        # ConvTranspose2d matricizes with the IN axis as torch does
+        # ([in, out*k*k] rows = torch's dim0 = u's axis; nn/layers.py
+        # ConvTranspose2d applies the same unfolding) — torch u carries over
+        # directly, v is recomputed in our flattening order.
+        in_ch = kernel.shape[2]
+        w_mat = kernel.transpose(0, 1, 3, 2).reshape(-1, in_ch)
         u_ours = u
+        assert u.shape[0] == in_ch, "convT weight_u is on the in axis"
     else:
-        u_ours = _l2n(np.random.RandomState(0).normal(size=out_dim))
+        out_dim = kernel.shape[-1]
+        w_mat = kernel.reshape(-1, out_dim)
+        if u.shape[0] == out_dim:
+            u_ours = u
+        else:
+            u_ours = _l2n(np.random.RandomState(0).normal(size=out_dim))
+            for _ in range(50):
+                v_it = _l2n(w_mat @ u_ours)
+                u_ours = _l2n(w_mat.T @ v_it)
     v_ours = _l2n(w_mat @ u_ours)
     params = {"kernel": kernel}
     if f"{base}.bias" in sd:
@@ -517,6 +528,9 @@ def convert_picnet_module(sd: dict) -> dict:
             assign(params, path[:-1] + ["kernel"], conv_w(v))
         elif leaf_name == "weight" and v.ndim == 2:
             assign(params, path[:-1] + ["kernel"], linear_w(v))
+        elif leaf_name == "weight" and v.ndim == 1:
+            # InstanceNorm2d(affine=True) scale (ResBlockDecoder norms)
+            assign(params, path[:-1] + ["scale"], v)
         elif leaf_name in ("gamma", "alpha"):
             assign(params, path, v)
         elif leaf_name == "bias":

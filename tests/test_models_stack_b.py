@@ -199,3 +199,36 @@ def test_psp_composite_and_loss():
                 loss_dict["loss_l2_ref"] * 0.5 + loss_dict["loss_w_norm"] * 0.01)
     np.testing.assert_allclose(float(loss), float(included), rtol=1e-5)
     assert "loss_style" in loss_dict and "loss_context" in loss_dict
+
+
+def test_stacked_style_heads_match_unrolled_blocks():
+    """The production _stacked_styles lax.scan (irse.py) must be numerically
+    identical, head for head, to running each GradualStyleBlock's plain
+    unrolled forward with the same params — pins the weight-stacking order
+    and the leaky_relu(0.01) slope (ADVICE r2)."""
+    from face_mask_inpaint_tpu.models.irse import GradualStyleBlock
+
+    # 1 coarse head @16 and 2 middle heads @32: exercises both a singleton
+    # and a multi-head stack (ordering-sensitive)
+    enc = GradualStyleEncoder(n_styles=4, coarse_ind=1, middle_ind=3)
+    x16 = jax.random.normal(KEY, (2, 16, 16, 512))
+    x32 = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 512))
+
+    v0 = enc.init(KEY, 0, x16, method=GradualStyleEncoder.styles_level)
+    v1 = enc.init(jax.random.PRNGKey(7), 1, x32,
+                  method=GradualStyleEncoder.styles_level)
+
+    out0 = enc.apply(v0, 0, x16, method=GradualStyleEncoder.styles_level)
+    out1 = enc.apply(v1, 1, x32, method=GradualStyleEncoder.styles_level)
+    assert out0.shape == (2, 1, 512) and out1.shape == (2, 2, 512)
+
+    blk16 = GradualStyleBlock(512, 16)
+    ref0 = blk16.apply({"params": v0["params"]["styles_0"]}, x16)
+    np.testing.assert_allclose(np.asarray(out0[:, 0]), np.asarray(ref0),
+                               rtol=1e-5, atol=1e-5)
+
+    blk32 = GradualStyleBlock(512, 32)
+    for g, j in enumerate((1, 2)):
+        refj = blk32.apply({"params": v1["params"][f"styles_{j}"]}, x32)
+        np.testing.assert_allclose(np.asarray(out1[:, g]), np.asarray(refj),
+                                   rtol=1e-5, atol=1e-5)
