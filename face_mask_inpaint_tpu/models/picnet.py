@@ -248,11 +248,24 @@ class ResGenerator(nn.Module):
             )
             want_stats = (pack_out and i < self.layers - 1
                           and self.norm == "instance")
+            # last layer: hand the Output head the decoder's (h, bypass)
+            # pre-add pair so the packed Output-head kernel fuses
+            # act(h + s) -> conv -> tanh -> pool into one pass (the stencil
+            # path, when enabled, keeps its own fused epilogue instead)
+            from face_mask_inpaint_tpu.ops.pallas.packed_convt import (
+                use_packed_output_kernel)
+
+            pair_req = (
+                i == self.layers - 1 and pack_out
+                and fuse_act in ("LeakyReLU", "ReLU")
+                and fuse_pool == 2 * r and not self.use_coord
+                and use_packed_output_kernel(train))
             res = ResBlockDecoder(
                 output_nc=ch, hidden_nc=ch, norm=self.norm,
                 name=f"decoder{i}", **kw,
             )(out, train=train, pack_in=r, pack_output=pack_out,
-              fuse_act=fuse_act, in_stats=stats, want_stats=want_stats)
+              fuse_act=fuse_act, in_stats=stats, want_stats=want_stats,
+              return_pair=pair_req)
             out, stats = res if want_stats else (res, None)
             if pack_out:
                 r *= 2
@@ -275,7 +288,8 @@ class ResGenerator(nn.Module):
                     dtype=self.dtype, name=f"out{i}",
                 )(out, train=train, pack_in=r,
                   fuse_pool=fuse_pool == r and r > 1,
-                  pre_activated=fuse_act is not None and i == self.layers - 1)
+                  pre_activated=(fuse_act is not None and i == self.layers - 1
+                                 and not isinstance(out, tuple)))
                 if i < self.layers - 1:
                     # the reference also concatenates after the LAST layer
                     # (network.py:272) where the result is never consumed —

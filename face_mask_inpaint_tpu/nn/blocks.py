@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from face_mask_inpaint_tpu.nn.layers import (
     Activation,
@@ -100,7 +101,8 @@ class CoordConvWrap(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, pack: int = 1,
-                 fuse_avgpool2: bool = False) -> jax.Array:
+                 fuse_avgpool2: bool = False,
+                 return_weights: bool = False) -> jax.Array:
         if self.use_coord:
             assert pack == 1, "CoordConv is incompatible with packed execution"
             x = add_coords(x, self.with_r)
@@ -114,7 +116,8 @@ class CoordConvWrap(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             name="conv",
-        )(x, pack=pack, fuse_avgpool2=fuse_avgpool2)
+        )(x, pack=pack, fuse_avgpool2=fuse_avgpool2,
+          return_weights=return_weights)
 
 
 class ResBlock(nn.Module):
@@ -234,6 +237,7 @@ class ResBlockDecoder(nn.Module):
         pack_in: int = 1, pack_output: bool = False,
         fuse_act: Optional[str] = None,
         in_stats=None, want_stats: bool = False,
+        return_pair: bool = False,
     ):
         """pack_in: the input's space-to-depth factor (1 = plain NHWC).
         pack_output: emit the upsampled result packed at 2*pack_in on the
@@ -245,6 +249,11 @@ class ResBlockDecoder(nn.Module):
         in_stats / want_stats (fused-kernel path): per-(sample, channel)
         f32 (Σx, Σx²) of this block's INPUT from the previous stage's kernel
         epilogue, and whether to emit the same for this block's output.
+        return_pair (dense path only): return the (h, bypass) streams
+        PRE-add and PRE-fuse_act — the packed Output-head kernel sums and
+        activates them in-VMEM, skipping the full-size act(h+s) round-trip.
+        The fused stencil path ignores it (its epilogue already fuses the
+        add+act) and returns the single activated tensor as usual.
         Returns out, or (out, stats or None) when want_stats."""
         hidden_nc = self.output_nc if self.hidden_nc is None else self.hidden_nc
         act = Activation(self.activation, name="act")
@@ -289,6 +298,8 @@ class ResBlockDecoder(nn.Module):
                       pack=pack_in)
         h = conv2(h, pack_in=pack_in, packed_out=pack_output)
         s = bypass(x, pack_in=pack_in, packed_out=pack_output)
+        if return_pair:
+            return ((h, s), None) if want_stats else (h, s)
         out = h + s
         if fuse_act is not None:
             out = act(out)
@@ -385,6 +396,39 @@ class Output(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )
+        streams = None
+        if isinstance(x, (tuple, list)):
+            # the decoder handed its (h, bypass) pre-add pair: the whole
+            # act(h + s) -> conv -> tanh -> pool tail runs as ONE Pallas pass
+            # (the full-size act(h+s) is the decoder tail's biggest remaining
+            # elementwise round-trip, ~5.8 ms at the flagship bs16)
+            from face_mask_inpaint_tpu.ops.pallas.packed_convt import (
+                use_packed_output_kernel)
+
+            assert pack_in > 1 and self.norm == "none" and not pre_activated
+            kern_ok = (
+                fuse_pool and self.kernel_size == 3 and not self.use_coord
+                and self.activation in ("LeakyReLU", "ReLU")
+                and use_packed_output_kernel(train))
+            if kern_ok:
+                streams = [s for s in x]
+            else:
+                from face_mask_inpaint_tpu.nn.layers import get_activation
+
+                x = get_activation(self.activation)(x[0] + x[1])
+                act = lambda v: v  # noqa: E731 — applied just above
+
+        if streams is not None:
+            from face_mask_inpaint_tpu.ops.pallas.packed_convt import (
+                packed_output_head)
+
+            w_eff, b_eff = conv(streams[0], pack=pack_in, return_weights=True)
+            pooled, edges = packed_output_head(
+                [s.astype(self.dtype) for s in streams], w_eff, b_eff,
+                pack_in, act=self.activation)
+            return self._ring_correct(
+                pooled, edges, streams, conv, pack_in)
+
         if pack_in > 1 and (
             self.norm != "none" or self.activation == "PReLU"
             or self.use_coord or self.kernel_size != 3
@@ -442,6 +486,75 @@ class Output(nn.Module):
         if fuse_pool:
             return packed_block_mean(y, r)
         return depth_to_space(y, r)
+
+    def _ring_correct(self, pooled, edges, streams, conv, r):
+        """Rebuild the reflection-pad border on the POOLED ring: the fused
+        kernel's zero-pad conv is exact everywhere except the outermost
+        full-resolution pixel ring (base_function.py:378 pads by reflection).
+        Recompute that ring from thin strips (same math as the dense packed
+        path above) and re-pool the edge blocks from the kernel's pre-tanh
+        edge outputs."""
+        from face_mask_inpaint_tpu.nn.layers import get_activation
+        from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+        act_fn = get_activation(self.activation)
+        n, hp, wp, _ = streams[0].shape
+        co = self.output_nc
+        top_e, bot_e, left_e, right_e = edges
+
+        def thin(sl):
+            v = streams[0][sl]
+            for s in streams[1:]:
+                v = v + s[sl]
+            return act_fn(v)
+
+        def row_strip(block_row, offsets):
+            strip = depth_to_space(
+                thin(np.s_[:, block_row:block_row + 1]), r)  # [N, r, W, C]
+            t = strip[:, offsets]
+            t = jnp.pad(t, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+            return conv(t)[:, 0]  # [N, W, co]
+
+        def col_strip(block_col, offsets):
+            strip = depth_to_space(
+                thin(np.s_[:, :, block_col:block_col + 1]), r)  # [N, H, r, C]
+            t = strip[:, :, offsets]
+            t = jnp.pad(t, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+            return conv(t)[:, :, 0]  # [N, H, co]
+
+        f32 = jnp.float32
+        top = row_strip(0, [1, 0, 1]).reshape(n, wp, r, co).astype(f32)
+        bot = row_strip(hp - 1, [r - 2, r - 1, r - 2]).reshape(
+            n, wp, r, co).astype(f32)
+        left = col_strip(0, [1, 0, 1]).reshape(n, hp, r, co).astype(f32)
+        right = col_strip(wp - 1, [r - 2, r - 1, r - 2]).reshape(
+            n, hp, r, co).astype(f32)
+
+        def view(e, length):
+            return e.reshape(n, length, r, r, co).astype(f32)
+
+        # scatter order matches the dense path (top, bot, then left/right win
+        # the corners); corner BLOCKS are finally written from yl/yr, which
+        # carry both their own and the top/bot corrections
+        yt = view(top_e, wp).at[:, :, 0].set(top)
+        yb = view(bot_e, wp).at[:, :, r - 1].set(bot)
+        yl = view(left_e, hp)
+        yl = yl.at[:, 0, 0].set(top[:, 0])
+        yl = yl.at[:, -1, r - 1].set(bot[:, 0])
+        yl = yl.at[:, :, :, 0].set(left)
+        yr = view(right_e, hp)
+        yr = yr.at[:, 0, 0].set(top[:, -1])
+        yr = yr.at[:, -1, r - 1].set(bot[:, -1])
+        yr = yr.at[:, :, :, r - 1].set(right)
+
+        def pool(v):
+            return jnp.mean(jnp.tanh(v), axis=(2, 3)).astype(pooled.dtype)
+
+        pooled = pooled.at[:, 0].set(pool(yt))
+        pooled = pooled.at[:, -1].set(pool(yb))
+        pooled = pooled.at[:, :, 0].set(pool(yl))
+        pooled = pooled.at[:, :, -1].set(pool(yr))
+        return pooled
 
 
 class AutoAttention(nn.Module):

@@ -52,7 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "packed_convt_pair",
     "packed_conv3x3_stats",
+    "packed_output_head",
     "use_packed_convt_kernel",
+    "use_packed_output_kernel",
     "instance_affine_from_stats",
 ]
 
@@ -535,3 +537,218 @@ def packed_conv3x3_stats(
     if with_stats:
         return res[0], (res[1][:, 0], res[2][:, 0])
     return res
+
+
+# ---------------------------------------------------------------------------
+# Fused packed Output head: act(Σ streams) -> 3x3 conv -> tanh -> block mean
+# ---------------------------------------------------------------------------
+
+def use_packed_output_kernel(train: bool) -> bool:
+    """Kernel policy: DEFAULT OFF — opt in with FMI_OUTPUT_KERNEL=1.
+
+    Measured verdict on v5e bs16 flagship (round 3, 2026-08): the fused
+    Output-head kernel (act(h+s) prologue + dense-packed co=48 conv + tanh +
+    slot-pool epilogue) replaces 13.7 ms of XLA work (compare_select 5.8 +
+    Output conv 6.4 + tanh/pool 1.5) but measures 15.5 ms ITSELF plus
+    6.5 ms of operand relayouts (the convT producers emit {3,0,2,1}; the
+    custom call pins row-major {3,2,1,0}) — flagship 72.7 -> 89.0 ms. The
+    in-kernel matmuls run at ~30 TF/s: Mosaic materializes each of the 9
+    shifted [th*wp, ck] windows before the dot, so the tap loop is
+    copy-bound, on top of the N=48 lane waste XLA's form shares. Beating
+    the dense tail here needs either layout-matched custom-call operands
+    (emit/accept {3,0,2,1}) or a Mosaic matmul that consumes shifted
+    windows in place. Kept (interpret-parity tested + on-chip validated)
+    as groundwork, like the stencil pair kernels above."""
+    import os
+
+    return os.environ.get("FMI_OUTPUT_KERNEL") == "1" and not train
+
+
+def _output_head_kernel(*refs, n_streams, ck, r, co, th, wp, n_tiles,
+                        n_chunks, act):
+    """refs: (xp, xc, xn) per stream, wdense [n_chunks, 9, ck, r²co],
+    bias [1, r²co], o_pool, o_top, o_bot, o_left, o_right, acc scratch.
+
+    Grid (N, row tiles, channel chunks) — the contraction axis is split so
+    each stream block is [*, *, ck] (the full-channel blocks at flagship
+    shapes blow the 16M scoped-vmem limit); acc accumulates across the
+    chunk dimension and the epilogue fires on the last chunk.
+
+    The conv is the DENSE packed form ([3, 3, r²C, r²co] built from the
+    unchanged weight): with co = 3 the true-FLOP slot-row form would run
+    3-lane matmuls, while the dense form's r²co = 48 lanes keep the MXU at
+    the same ~74 TF/s XLA achieves — the kernel's win is the fusion (no
+    act(h+s) round-trip, no separate tanh/pool passes), not the matmul."""
+    qco = r * r * co
+    w_ref = refs[3 * n_streams]
+    bias_ref = refs[3 * n_streams + 1]
+    o_pool, o_top, o_bot, o_left, o_right = refs[
+        3 * n_streams + 2 : 3 * n_streams + 7]
+    acc = refs[-1]
+    i = pl.program_id(1)
+    kc = pl.program_id(2)
+
+    x = None
+    for s in range(n_streams):
+        xp_ref, xc_ref, xn_ref = refs[3 * s : 3 * s + 3]
+        xi = jnp.concatenate([xp_ref[0], xc_ref[0], xn_ref[0]], axis=0)
+        x = xi if x is None else x + xi  # [th+2, wp, ck]
+    if act is not None:
+        # stream dtype (bf16) on purpose (the dense path's act(h+s) fusion
+        # computes in bf16 too); max-form because Mosaic rejects bf16
+        # compares on v5e ("Target does not support this comparison") — for
+        # slope < 1 it is EXACT: max(y, s*y) == where(y >= 0, y, s*y).
+        if act == "LeakyReLU":
+            x = jnp.maximum(x, x * jnp.asarray(0.1, x.dtype))
+        elif act == "ReLU":
+            x = jnp.maximum(x, jnp.zeros_like(x))
+        else:
+            raise NotImplementedError(act)
+    # zero the row halos past the image edges (top halo block is clamped to
+    # row 0 at i==0, bottom to the last row at i==n_tiles-1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+    edge = jnp.logical_and(
+        jnp.logical_or(row > 0, i > 0),
+        jnp.logical_or(row < th + 1, i < n_tiles - 1))
+    x = jnp.where(edge, x, jnp.zeros_like(x))
+    # one zero column each side (the packed conv's 'same' zero pad; physical
+    # width padded to a lane-friendly wp + 8)
+    x = jnp.concatenate(
+        [jnp.zeros((th + 2, 1, ck), x.dtype), x,
+         jnp.zeros((th + 2, 7, ck), x.dtype)], axis=1)
+
+    @pl.when(kc == 0)
+    def _zero():
+        acc[...] = jnp.zeros_like(acc)
+
+    for t in range(9):
+        sh, sw = divmod(t, 3)
+        xs = x[sh : sh + th, sw : sw + wp]
+        acc[...] += jax.lax.dot_general(
+            xs.reshape(th * wp, ck), w_ref[0, t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(th, wp, qco)
+
+    @pl.when(kc == n_chunks - 1)
+    def _epilogue():
+        y = acc[...] + bias_ref[0]
+
+        # pre-tanh edge blocks for the reflection-pad ring correction
+        @pl.when(i == 0)
+        def _top():
+            o_top[0] = y[0:1].astype(o_top.dtype)
+
+        @pl.when(i == n_tiles - 1)
+        def _bot():
+            o_bot[0] = y[th - 1 : th].astype(o_bot.dtype)
+
+        # 3D [tile, qco] writes: 4D (1, th, 1, qco) width-1 out blocks
+        # SIGABRT the Mosaic lowering (PrepareOutput) on v5e
+        o_left[0] = y[:, 0, :].astype(o_left.dtype)
+        o_right[0] = y[:, wp - 1, :].astype(o_right.dtype)
+
+        t_ = jnp.tanh(y)
+        # adaptive pool: mean over the r² packed slots (channel (q)*co + c)
+        p = t_[:, :, 0:co]
+        for q in range(1, r * r):
+            p = p + t_[:, :, q * co : (q + 1) * co]
+        o_pool[0] = (p * (1.0 / (r * r))).astype(o_pool.dtype)
+
+
+def packed_output_head(streams, w, b, r: int, act: str | None = None,
+                       th: int = 8):
+    """One-pass packed Output head (base_function.py:367-398 at pack r with
+    the caller's integer-factor pool folded in, modules/model.py:79).
+
+    streams: one [N, Hp, Wp, r²C] map (already activated), or several summed
+    in-kernel with ``act`` applied (the decoder's h + bypass pre-add pair —
+    saves the full-size act(h+s) materialization XLA cannot fuse into the
+    conv). w: [3, 3, C, co] effective conv weight; b: [co] or None.
+
+    Returns (pooled [N, Hp, Wp, co] with zero-pad borders,
+    (top, bot [N, Wp, r²co], left, right [N, Hp, r²co]) pre-tanh conv edge
+    blocks — the caller rebuilds the reflection-pad ring from those).
+    """
+    from face_mask_inpaint_tpu.ops.packed import pack_conv3x3_kernel
+
+    n, hp, wp, sc = streams[0].shape
+    c, co = w.shape[2], w.shape[3]
+    qco = r * r * co
+    assert w.shape[:2] == (3, 3) and sc == r * r * c
+    while hp % th:
+        th //= 2
+    n_tiles = hp // th
+    dtype = streams[0].dtype
+
+    # contraction split: full-channel stream blocks exceed the 16M scoped
+    # vmem at the flagship's [16, 256, 256, 512] bf16 shapes
+    ck = sc
+    n_chunks = 1
+    while ck > 256:
+        ck //= 2
+        n_chunks *= 2
+    wd = pack_conv3x3_kernel(w, r).reshape(9, n_chunks, ck, qco)
+    wd = jnp.transpose(wd, (1, 0, 2, 3)).astype(dtype)
+    bias = (b.astype(jnp.float32) if b is not None
+            else jnp.zeros((co,), jnp.float32))
+    bias_t = jnp.tile(bias, r * r)[None]
+
+    operands, in_specs = [], []
+    for x in streams:
+        operands += [x, x, x]
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, wp, ck),
+                lambda b_, i_, k_, _th=th: (
+                    b_, jax.lax.max(i_ * _th - 1, 0), 0, k_),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, wp, ck),
+                         lambda b_, i_, k_: (b_, i_, 0, k_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, wp, ck),
+                lambda b_, i_, k_, _nt=n_tiles, _th=th: (
+                    b_, jax.lax.min((i_ + 1) * _th, _nt * _th - 1), 0, k_),
+                memory_space=pltpu.VMEM),
+        ]
+    operands += [wd, bias_t]
+    in_specs += [
+        pl.BlockSpec((1, 9, ck, qco), lambda b_, i_, k_: (k_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qco), lambda b_, i_, k_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, th, wp, co), lambda b_, i_, k_: (b_, i_, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, wp, qco), lambda b_, i_, k_: (b_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, wp, qco), lambda b_, i_, k_: (b_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, th, qco), lambda b_, i_, k_: (b_, i_, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, th, qco), lambda b_, i_, k_: (b_, i_, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, hp, wp, co), dtype),
+        jax.ShapeDtypeStruct((n, 1, wp, qco), jnp.float32),
+        jax.ShapeDtypeStruct((n, 1, wp, qco), jnp.float32),
+        jax.ShapeDtypeStruct((n, hp, qco), jnp.float32),
+        jax.ShapeDtypeStruct((n, hp, qco), jnp.float32),
+    ]
+    pooled, top, bot, left, right = pl.pallas_call(
+        functools.partial(
+            _output_head_kernel, n_streams=len(streams), ck=ck, r=r, co=co,
+            th=th, wp=wp, n_tiles=n_tiles, n_chunks=n_chunks, act=act),
+        grid=(n, n_tiles, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((th, wp, qco), jnp.float32)],
+        # the unrolled 9-tap loop's temporaries overflow the default 16M
+        # scoped-vmem budget at flagship shapes; v5e has 128M physical
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*operands)
+    return pooled, (top[:, 0], bot[:, 0], left, right)

@@ -224,3 +224,57 @@ def test_packed_resgenerator_with_pallas_convt(rs, monkeypatch):
     ref = g_ref.apply(vs, f, z=z, train=False)
     got = g_pk.apply(vs, f, z=z, train=False)
     np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_packed_output_head_kernel_matches_dense(rs, monkeypatch):
+    """The fused Output-head Pallas kernel (pair input: act(h+s) in-VMEM ->
+    conv -> tanh -> pool with reflection-ring re-pool) must match both the
+    dense packed fallback and the explicit full-resolution reference."""
+    from face_mask_inpaint_tpu.nn.blocks import Output
+
+    key = jax.random.PRNGKey(0)
+    r, c = 4, 6
+    h = jnp.asarray(rs.randn(2, 8, 8, r * r * c), jnp.float32)
+    s = jnp.asarray(rs.randn(2, 8, 8, r * r * c), jnp.float32)
+    mod = Output(output_nc=3, kernel_size=3, norm="none",
+                 activation="LeakyReLU", use_spect=True)
+
+    monkeypatch.setenv("FMI_OUTPUT_KERNEL", "1")
+    vs = mod.init(key, (h, s), train=False, pack_in=r, fuse_pool=True)
+    out_k = mod.apply(vs, (h, s), train=False, pack_in=r, fuse_pool=True)
+
+    monkeypatch.setenv("FMI_OUTPUT_KERNEL", "0")
+    out_d = mod.apply(vs, (h, s), train=False, pack_in=r, fuse_pool=True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_d),
+                               atol=2e-5)
+
+    # explicit full-resolution reference: the plain path applies the head's
+    # own act -> reflect-pad conv -> tanh; then 4x adaptive pool (same
+    # effective spectral-normed weights)
+    x_full = P.depth_to_space(h + s, r)
+    ref = mod.apply(vs, x_full, train=False)
+    np.testing.assert_allclose(np.asarray(out_k),
+                               np.asarray(adaptive_avg_pool2d(ref, (8, 8))),
+                               atol=2e-5)
+
+
+def test_resgenerator_pair_handoff_matches_dense(rs, monkeypatch):
+    """End-to-end: the decoder's (h, s) pair handoff + Output kernel path
+    must equal the default dense packed tail."""
+    key = jax.random.PRNGKey(1)
+    dec = dict(ngf=8, z_nc=8, img_f=32, L=0, layers=3, norm="instance",
+               activation="LeakyReLU", init_type="normal")
+    g = define_g(**dec)
+    g = g.copy(pack_threshold=16)
+    x = jnp.asarray(rs.randn(2, 4, 4, 32), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 4, 4, 16), jnp.float32)
+
+    monkeypatch.setenv("FMI_OUTPUT_KERNEL", "0")
+    vs = g.init(key, x, z=z, train=False, fuse_pool=4)
+    out_dense = g.apply(vs, x, z=z, train=False, fuse_pool=4)
+
+    monkeypatch.setenv("FMI_OUTPUT_KERNEL", "1")
+    out_kern = g.apply(vs, x, z=z, train=False, fuse_pool=4)
+    assert out_kern.shape == out_dense.shape
+    np.testing.assert_allclose(np.asarray(out_kern), np.asarray(out_dense),
+                               atol=3e-5)
