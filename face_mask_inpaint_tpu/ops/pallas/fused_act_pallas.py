@@ -78,11 +78,14 @@ def _forward(x, bias, slope, scale):
 
 
 def _vjp_fwd(x, bias, slope, scale):
-    y = _forward(x, bias, slope, scale)
+    # recurse through the custom op (not the raw pallas forward): grad-of-
+    # grad linearizes this fwd rule, so the residual's dependence on x must
+    # itself be differentiable
+    y = fused_leaky_relu_pallas(x, bias, slope, scale)
     return y, y  # save the OUTPUT, not the input (the CUDA trick)
 
 
-def _vjp_bwd(slope, scale, y, g):
+def _run_mask(y, g, slope, scale):
     c = y.shape[-1]
     rows_total = max(1, y.size // c)
     y2 = y.reshape(rows_total, c)
@@ -105,8 +108,35 @@ def _vjp_bwd(slope, scale, y, g):
     )(y2, g2)
     if pad:
         dx2 = dx2[:rows_total]
-    dx = dx2.reshape(g.shape)
-    dbias = jnp.sum(dx2.astype(jnp.float32), axis=0).astype(g.dtype)
+    return dx2.reshape(g.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _mask_apply(y, g, slope, scale):
+    """g scaled by the output-sign mask of y — the backward's core, itself a
+    custom_vjp so GRAD-OF-GRAD works (the reference ships a full double
+    backward, op/fused_act.py:18-69): d/dg re-applies the same mask; d/dy is
+    zero almost everywhere (the sign's derivative is a null measure), exactly
+    as the CUDA FusedLeakyReLUFunctionBackward routes gradgrad."""
+    return _run_mask(y, g, slope, scale)
+
+
+def _mask_fwd(y, g, slope, scale):
+    return _run_mask(y, g, slope, scale), y
+
+
+def _mask_bwd(slope, scale, y, gg):
+    return jnp.zeros_like(y), _mask_apply(y, gg, slope, scale)
+
+
+_mask_apply.defvjp(_mask_fwd, _mask_bwd)
+
+
+def _vjp_bwd(slope, scale, y, g):
+    dx = _mask_apply(y, g, slope, scale)
+    dbias = jnp.sum(
+        dx.astype(jnp.float32).reshape(-1, dx.shape[-1]), axis=0
+    ).astype(g.dtype)
     return dx, dbias
 
 

@@ -97,3 +97,64 @@ def test_instance_norm_act_pallas_matches_reference():
     for a_, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_upfirdn2d_pallas_grad_of_grad_matches_lax():
+    """Second-order gradients through the Pallas custom_vjp must match the
+    natively-differentiable lax path (the reference ships full double
+    backward for this op, op/upfirdn2d.py:98-139); this is the surface a
+    gradient-penalty objective (losses/gan.py cal_gradient_penalty) hits."""
+    from face_mask_inpaint_tpu.ops.pallas.upfirdn2d_pallas import upfirdn2d_pallas
+    from face_mask_inpaint_tpu.ops.upfirdn2d import upfirdn2d_lax
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 8, 4), jnp.float32)
+    k = np.outer([1, 3, 3, 1], [1, 3, 3, 1]).astype(np.float32)
+    k /= k.sum()
+    w = jnp.asarray(rs.randn(2, 8, 8, 4), jnp.float32)
+
+    def scalar(op):
+        def f(x):
+            return jnp.sum(op(x) * w)
+
+        def h(x):
+            return jnp.sum(jax.grad(f)(x) ** 2)
+
+        return jax.grad(h)(x)
+
+    gg_p = scalar(lambda x: upfirdn2d_pallas(x, k, 1, 1, (2, 1)))
+    gg_l = scalar(lambda x: upfirdn2d_lax(x, jnp.asarray(k), 1, 1, (2, 1)))
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_l),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_act_pallas_grad_of_grad_matches_reference():
+    """Grad-of-grad through fused_leaky_relu_pallas: the backward's mask
+    apply is itself a custom_vjp mirroring the CUDA double backward
+    (op/fused_act.py:18-69) — gradgrad routes through grad_output with the
+    same output-sign mask, zero into the saved output."""
+    from face_mask_inpaint_tpu.ops.pallas.fused_act_pallas import (
+        fused_leaky_relu_pallas)
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 8, 8, 4), jnp.float32)
+    b = jnp.asarray(rs.randn(4), jnp.float32)
+    w = jnp.asarray(rs.randn(2, 8, 8, 4), jnp.float32)
+
+    def ref_op(x, b):
+        v = x + b
+        return jnp.where(v >= 0, v, 0.2 * v) * np.sqrt(2.0)
+
+    def second(op):
+        def f(x):
+            return jnp.sum(op(x) * w)
+
+        def h(x):
+            return jnp.sum(jax.grad(f)(x) ** 2)
+
+        return jax.grad(h)(x)
+
+    gg_p = second(lambda x: fused_leaky_relu_pallas(x, b))
+    gg_r = second(lambda x: ref_op(x, b))
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_r),
+                               rtol=1e-5, atol=1e-6)
