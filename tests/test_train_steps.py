@@ -159,3 +159,137 @@ def test_ranger_matches_reference_torch_free_properties():
     # GC preserves each row's mean, so the optimum is the row-mean matrix,
     # not zero — just require substantial progress toward it.
     assert vals[-1] < vals[0] * 0.5
+
+
+def _assert_trees_equal(a, b, what):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb), what
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=what)
+
+
+def test_gan_resume_trajectory_equivalence(tmp_path):
+    """save -> restore -> continue must be bit-for-bit identical to an
+    uninterrupted run: params, BOTH optimizer states, spectral/batch-norm
+    state, rng, and step (reference save layout
+    train_reference_fill.py:410-415; round-2 verdict item 7)."""
+    from face_mask_inpaint_tpu.train import checkpoint as ckpt
+
+    generator, discriminator, g_vars, d_vars, vgg_params, _ = _build_gan()
+    rngs = [np.random.RandomState(i) for i in range(4)]
+    batches = [{
+        "src_img": jnp.asarray(r.rand(2, 32, 32, 3), jnp.float32),
+        "gt_img": jnp.asarray(r.rand(2, 32, 32, 3), jnp.float32),
+        "ref_img": jnp.asarray(r.rand(2, 32, 32, 3), jnp.float32),
+        "mask": jnp.asarray(r.rand(2, 32, 32) > 0.5, jnp.float32),
+    } for r in rngs]
+    g_tx, d_tx = adam(1e-4), adam(1e-4)
+
+    def fresh_state():
+        g_state = ModuleState.from_variables(g_vars)
+        d_state = ModuleState.from_variables(d_vars)
+        return GANTrainState(
+            step=jnp.zeros([], jnp.int32), generator=g_state,
+            discriminator=d_state, g_opt_state=g_tx.init(g_state.params),
+            d_opt_state=d_tx.init(d_state.params), rng=KEY)
+
+    step = jax.jit(make_gan_train_step(
+        generator, discriminator, g_tx, d_tx, vgg_params))
+
+    cont = fresh_state()
+    for b in batches:
+        cont, _ = step(cont, b)
+
+    inter = fresh_state()
+    for b in batches[:2]:
+        inter, _ = step(inter, b)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    ckpt.save_state(run_dir, "G", 1, {"state": jax.device_get(inter)})
+    assert ckpt.latest_epoch(run_dir, "G") == 1
+    restored = ckpt.restore_state(
+        run_dir / "G_checkpoint_epoch1",
+        {"state": jax.device_get(fresh_state())})["state"]
+    _assert_trees_equal(jax.device_get(inter), restored, "ckpt roundtrip")
+    for b in batches[2:]:
+        restored, _ = step(restored, b)
+
+    assert int(restored.step) == int(cont.step) == 4
+    _assert_trees_equal(cont.generator.params, restored.generator.params,
+                        "generator params diverged after resume")
+    _assert_trees_equal(cont.discriminator.params,
+                        restored.discriminator.params,
+                        "discriminator params diverged after resume")
+    _assert_trees_equal(cont.g_opt_state, restored.g_opt_state, "g opt state")
+    _assert_trees_equal(cont.d_opt_state, restored.d_opt_state, "d opt state")
+    _assert_trees_equal(cont.generator.spectral, restored.generator.spectral,
+                        "spectral state")
+    np.testing.assert_array_equal(np.asarray(cont.rng),
+                                  np.asarray(restored.rng), "rng")
+
+
+def test_psp_resume_trajectory_equivalence(tmp_path):
+    """Same bit-for-bit criterion for the Stack B trainer's TrainState
+    (params + partitioned optimizer + rng + step)."""
+    from face_mask_inpaint_tpu.losses.psp_loss import PSPLossConfig
+    from face_mask_inpaint_tpu.losses.vgg import VGG16Features
+    from face_mask_inpaint_tpu.models.psp import PSP
+    from face_mask_inpaint_tpu.train import checkpoint as ckpt
+    from face_mask_inpaint_tpu.train.optim import adam_injected
+    from face_mask_inpaint_tpu.train.psp import make_psp_train_step, partitioned_tx
+
+    model = PSP(output_size=64, start_from_latent_avg=True, use_attention=False)
+    # everything at the face_pool output resolution (256², psp.py:33) so the
+    # in-/out-mask loss terms see aligned shapes, as in the real trainer
+    x0 = jax.random.normal(KEY, (1, 256, 256, 3))
+    m0 = jnp.zeros((1, 256, 256), jnp.float32)
+    variables = model.init({"params": KEY, "noise": KEY}, x0, ref=x0,
+                           src_mask=m0, train=False)
+    cfg = PSPLossConfig(id_lambda=0.0, lpips_lambda=0.0, l2_lambda=1.0,
+                        style_lambda=0.0, cx_lambda=0.0, w_norm_lambda=0.01,
+                        start_from_latent_avg=True)
+    nets = {}
+    base_tx = adam_injected(1e-4)
+
+    rngs = [np.random.RandomState(10 + i) for i in range(4)]
+    batches = [{
+        "src_img": jnp.asarray(r.rand(1, 256, 256, 3) * 2 - 1, jnp.float32),
+        "gt_img": jnp.asarray(r.rand(1, 256, 256, 3) * 2 - 1, jnp.float32),
+        "ref_img": jnp.asarray(r.rand(1, 256, 256, 3) * 2 - 1, jnp.float32),
+        "mask": jnp.asarray(r.rand(1, 256, 256) > 0.5, jnp.float32),
+    } for r in rngs]
+
+    mstate = ModuleState.from_variables(variables)
+    tx = partitioned_tx(base_tx, mstate.params, train_decoder=False)
+
+    def fresh_state():
+        ms = ModuleState.from_variables(variables)
+        return TrainState(step=jnp.zeros([], jnp.int32), model=ms,
+                          opt_state=tx.init(ms.params), rng=KEY)
+
+    step = jax.jit(make_psp_train_step(model, tx, cfg, nets, use_ref=True,
+                                       randomize_noise=False))
+
+    cont = fresh_state()
+    for b in batches:
+        cont, _ = step(cont, b)
+
+    inter = fresh_state()
+    for b in batches[:2]:
+        inter, _ = step(inter, b)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    ckpt.save_state(run_dir, "G", 1, {"state": jax.device_get(inter)})
+    restored = ckpt.restore_state(
+        run_dir / "G_checkpoint_epoch1",
+        {"state": jax.device_get(fresh_state())})["state"]
+    for b in batches[2:]:
+        restored, _ = step(restored, b)
+
+    assert int(restored.step) == int(cont.step) == 4
+    _assert_trees_equal(cont.model.params, restored.model.params,
+                        "pSp params diverged after resume")
+    _assert_trees_equal(cont.opt_state, restored.opt_state, "pSp opt state")
+    np.testing.assert_array_equal(np.asarray(cont.rng),
+                                  np.asarray(restored.rng), "rng")

@@ -98,6 +98,8 @@ def get_args():
     # TPU-rebuild extras
     parser.add_argument('--irse50_weights', default='', type=str,
                         help='ir_se50 .pth for encoder init + ID loss')
+    parser.add_argument('--inception_weights', type=str, default='',
+                        help='torchvision inception_v3 .pth for --eval_options fid')
     parser.add_argument('--alexnet_weights', default='', type=str)
     parser.add_argument('--lpips_lin_weights', default='', type=str)
     parser.add_argument('--vgg_weights', default='', type=str)
@@ -285,10 +287,30 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
     eval_step = jax.jit(make_psp_eval_step(model, cfg, nets, use_ref=args.use_ref))
 
     eval_options = set(args.eval_options)
+    inception_vars = None
+    if 'fid' in eval_options:
+        # the reference surfaces an in-training fid option here too
+        # (train_psp.py:214-237, broken there by the calculate_fid argument
+        # misorder); computed correctly below: activations accumulate over
+        # the whole val round, ONE dataset-level Fréchet distance.
+        from face_mask_inpaint_tpu.evaluations.fid import InceptionV3Features
+        if args.inception_weights and Path(args.inception_weights).is_file():
+            from face_mask_inpaint_tpu.tools.convert_torch import (
+                convert_inception_v3, load_torch_state_dict)
+            inception_vars = {
+                k: jax.tree.map(jnp.asarray, v) for k, v in
+                convert_inception_v3(
+                    load_torch_state_dict(args.inception_weights)).items()}
+        else:
+            logging.warning('fid eval uses a randomly initialized InceptionV3 '
+                            '(--inception_weights unset); values are relative only')
+            inception_vars = jax.jit(InceptionV3Features().init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
 
     def evaluate(st, step_rng):
         metrics = {'validation loss': 0.0}
         n = 0
+        gt_acts, gen_acts = [], []
         for batch in val_loader:
             b = dict(batch)
             b['mask'] = (np.asarray(batch['mask']) > 0).astype(np.float32)
@@ -301,8 +323,24 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
             if 'ms_ssim' in eval_options and gen01.shape[1] > 160:
                 metrics['ms_ssim'] = metrics.get('ms_ssim', 0.0) + float(
                     ms_ssim_fn(gt, gen01))
+            if 'fid' in eval_options:
+                from face_mask_inpaint_tpu.evaluations.fid import get_activations
+                from face_mask_inpaint_tpu.ops.resize import scale_img
+                bsz = gen01.shape[0]
+                gt_acts.append(get_activations(
+                    np.asarray(scale_img(gt, (299, 299))), bsz, inception_vars))
+                gen_acts.append(get_activations(
+                    np.asarray(jnp.clip(scale_img(gen01, (299, 299)), 0.0, 1.0)),
+                    bsz, inception_vars))
             n += 1
-        return {k: v / max(n, 1) for k, v in metrics.items()}
+        metrics = {k: v / max(n, 1) for k, v in metrics.items()}
+        if 'fid' in eval_options and gt_acts:
+            from face_mask_inpaint_tpu.evaluations.fid import (
+                calculate_frechet_distance, statistics_from_activations)
+            mu1, s1 = statistics_from_activations(np.concatenate(gt_acts))
+            mu2, s2 = statistics_from_activations(np.concatenate(gen_acts))
+            metrics['fid'] = calculate_frechet_distance(mu1, s1, mu2, s2)
+        return metrics
 
     from face_mask_inpaint_tpu.utils.profiling import ProfileWindow
     profiler = ProfileWindow(args.profile_dir, args.profile_steps)
