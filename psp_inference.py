@@ -156,6 +156,11 @@ def main():
 
     use_split = (bool(args.split_jit) if args.split_jit >= 0
                  else jax.devices()[0].platform == 'axon')
+    if use_split and args.encoder_type != 'GradualStyleEncoder':
+        logging.warning(
+            '--split_jit is only supported for encoder_type='
+            'GradualStyleEncoder; falling back to the fused jit (may stall '
+            'remote-compile backends)')
     if use_split and args.encoder_type == 'GradualStyleEncoder':
         # several small programs (params as args — closed-over trees embed
         # as constants and blow remote-compile request limits); the fused
