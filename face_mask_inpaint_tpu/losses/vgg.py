@@ -72,12 +72,21 @@ def contextual_loss(x: jax.Array, y: jax.Array, h: float = 0.5) -> jax.Array:
     y_mu = jnp.mean(y, axis=(0, 1, 2), keepdims=True)  # mean over N,H,W per channel
     x_c = x - y_mu
     y_c = y - y_mu
-    x_n = x_c / jnp.linalg.norm(x_c, axis=-1, keepdims=True)
-    y_n = y_c / jnp.linalg.norm(y_c, axis=-1, keepdims=True)
+    # eps-guarded norms: an all-zero feature vector (e.g. a fully-masked
+    # region after ReLU) would otherwise produce 0/0 = NaN; the reference
+    # divides unguarded (external_function.py:250-251) and simply never
+    # hits the case in f32 torch
+    x_n = x_c / jnp.maximum(jnp.linalg.norm(x_c, axis=-1, keepdims=True), 1e-12)
+    y_n = y_c / jnp.maximum(jnp.linalg.norm(y_c, axis=-1, keepdims=True), 1e-12)
     x_n = x_n.reshape(n, hh * ww, c)
     y_n = y_n.reshape(n, hh * ww, c)
     cos = jnp.einsum("nic,njc->nij", x_n, y_n, preferred_element_type=jnp.float32)
-    d = 1.0 - cos
+    # clamp d >= 0: the reference relies on cos <= 1 so d_min + 1e-5 > 0,
+    # but the TPU MXU's bf16 f32-matmul passes carry ~1e-3 error, so cos can
+    # exceed 1 -> d_min + 1e-5 goes NEGATIVE -> d_tilde is hugely negative
+    # for ordinary pairs -> exp overflows -> inf/inf = NaN (observed on-chip
+    # at GAN step 2). max(d, 0) restores the invariant the math assumes.
+    d = jnp.maximum(1.0 - cos, 0.0)
     d_min = jnp.min(d, axis=2, keepdims=True)
     d_tilde = d / (d_min + 1e-5)
     w = jnp.exp((1.0 - d_tilde) / h)
