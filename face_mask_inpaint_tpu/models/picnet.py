@@ -260,12 +260,22 @@ class ResGenerator(nn.Module):
                 and fuse_act in ("LeakyReLU", "ReLU")
                 and fuse_pool == 2 * r and not self.use_coord
                 and use_packed_output_kernel(train))
+            # r-capped ("half") emission on the last block: convTs run at
+            # r_in=1 so executed FLOPs stop paying the r² packing inflation;
+            # the Output head consumes the 2-packed-on-doubled-grid form
+            # directly (ops/packed.py:use_half_tail for the full story).
+            from face_mask_inpaint_tpu.ops.packed import use_half_tail
+
+            half_req = (
+                i == self.layers - 1 and pack_out and r == 2
+                and not pair_req and self.activation != "PReLU"
+                and not self.use_coord and use_half_tail())
             res = ResBlockDecoder(
                 output_nc=ch, hidden_nc=ch, norm=self.norm,
                 name=f"decoder{i}", **kw,
             )(out, train=train, pack_in=r, pack_output=pack_out,
               fuse_act=fuse_act, in_stats=stats, want_stats=want_stats,
-              return_pair=pair_req)
+              return_pair=pair_req, half_output=half_req)
             out, stats = res if want_stats else (res, None)
             if pack_out:
                 r *= 2
@@ -289,7 +299,8 @@ class ResGenerator(nn.Module):
                 )(out, train=train, pack_in=r,
                   fuse_pool=fuse_pool == r and r > 1,
                   pre_activated=(fuse_act is not None and i == self.layers - 1
-                                 and not isinstance(out, tuple)))
+                                 and not isinstance(out, tuple)),
+                  half_in=half_req)
                 if i < self.layers - 1:
                     # the reference also concatenates after the LAST layer
                     # (network.py:272) where the result is never consumed —

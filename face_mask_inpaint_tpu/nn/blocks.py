@@ -238,6 +238,7 @@ class ResBlockDecoder(nn.Module):
         fuse_act: Optional[str] = None,
         in_stats=None, want_stats: bool = False,
         return_pair: bool = False,
+        half_output: bool = False,
     ):
         """pack_in: the input's space-to-depth factor (1 = plain NHWC).
         pack_output: emit the upsampled result packed at 2*pack_in on the
@@ -275,6 +276,7 @@ class ResBlockDecoder(nn.Module):
 
         fuse_kernel = (
             pack_output
+            and not half_output
             and self.norm in ("instance", "none")
             and self.activation in ("LeakyReLU", "ReLU")
             and not self.use_coord
@@ -296,8 +298,21 @@ class ResBlockDecoder(nn.Module):
         h = conv1(h, pack=pack_in)
         h = _norm_act(h, self.norm, self.activation, "norm2", train, act,
                       pack=pack_in)
-        h = conv2(h, pack_in=pack_in, packed_out=pack_output)
-        s = bypass(x, pack_in=pack_in, packed_out=pack_output)
+        if half_output and pack_output and pack_in > 1:
+            # r-capped emission: unpack the operands to the true double grid
+            # and run the convTs at r_in=1, so the output lands HALF-packed
+            # (r=2 on the doubled grid) instead of (2*pack_in)-packed on
+            # this grid. Executed convT FLOPs stop scaling with pack_in²
+            # (decoder4 at the flagship: 549+1097 GF -> 137+275 GF) while
+            # channel widths stay MXU-lane-full; the Output head consumes
+            # the half form directly (packed_conv3x3_half_in).
+            from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+            h = conv2(depth_to_space(h, pack_in), pack_in=1, packed_out=True)
+            s = bypass(depth_to_space(x, pack_in), pack_in=1, packed_out=True)
+        else:
+            h = conv2(h, pack_in=pack_in, packed_out=pack_output)
+            s = bypass(x, pack_in=pack_in, packed_out=pack_output)
         if return_pair:
             return ((h, s), None) if want_stats else (h, s)
         out = h + s
@@ -372,7 +387,7 @@ class Output(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = True,
         pack_in: int = 1, fuse_pool: bool = False,
-        pre_activated: bool = False,
+        pre_activated: bool = False, half_in: bool = False,
     ) -> jax.Array:
         """pack_in > 1: the input arrives space-to-depth packed; the head then
         runs entirely on the packed layout (the reference decodes 512²-1024²
@@ -429,6 +444,23 @@ class Output(nn.Module):
             return self._ring_correct(
                 pooled, edges, streams, conv, pack_in)
 
+        if half_in and pack_in > 1:
+            # r-capped tail: x arrives HALF-packed ([N, 2Hp, 2Wp, (r/2)²c],
+            # r/2 on the doubled grid) from ResBlockDecoder(half_output).
+            # The conv consumes it via the stride-2 4x4-window form
+            # (packed_conv3x3_half_in) and emits the usual r-packed output,
+            # so the ring correction / tanh / pool tail below is shared.
+            if (self.norm == "none" and self.activation != "PReLU"
+                    and not self.use_coord and self.kernel_size == 3
+                    and pack_in == 4):  # rh == 2: the only half form the
+                # decoder emits (convTs at r_in=1 always land 2-packed on
+                # the doubled grid), and the ring strips need 2 rows/cell
+                return self._half_in_tail(x, conv, act, pack_in, fuse_pool)
+            from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+            x = depth_to_space(x, 2)  # half form is ALWAYS 2-packed
+            pack_in = 1
+
         if pack_in > 1 and (
             self.norm != "none" or self.activation == "PReLU"
             or self.use_coord or self.kernel_size != 3
@@ -475,6 +507,54 @@ class Output(nn.Module):
         bot = row_strip(hp - 1, [r - 2, r - 1, r - 2]).reshape(n, wp, r, co)
         left = col_strip(0, [1, 0, 1]).reshape(n, hp, r, co)
         right = col_strip(wp - 1, [r - 2, r - 1, r - 2]).reshape(n, hp, r, co)
+
+        yv = y.reshape(n, hp, wp, r, r, co)
+        yv = yv.at[:, 0, :, 0, :, :].set(top)
+        yv = yv.at[:, -1, :, r - 1, :, :].set(bot)
+        yv = yv.at[:, :, 0, :, 0, :].set(left)
+        yv = yv.at[:, :, -1, :, r - 1, :].set(right)
+        y = jnp.tanh(yv.reshape(n, hp, wp, r * r * co))
+
+        if fuse_pool:
+            return packed_block_mean(y, r)
+        return depth_to_space(y, r)
+
+    def _half_in_tail(self, x, conv, act, r, fuse_pool):
+        """Output tail on a HALF-packed input (r/2 on the doubled grid):
+        act -> stride-2 half-in conv to the r-packed map -> exact
+        reflection ring from thin unpacked strips -> tanh -> pool/unpack.
+        Identical math to the r-packed dense path; only the conv
+        formulation (and strip extraction) differ."""
+        from face_mask_inpaint_tpu.ops.packed import (
+            depth_to_space, packed_block_mean, packed_conv3x3_half_in)
+
+        rh = r // 2
+        n, hp2, wp2, _ = x.shape
+        hp, wp = hp2 // 2, wp2 // 2
+        co = self.output_nc
+        h = act(x)
+        w_eff, b_eff = conv(h, pack=rh, return_weights=True)
+        y = packed_conv3x3_half_in(h, w_eff, b_eff, r)  # [N, hp, wp, r²co]
+
+        # reflection border: recompute the outermost output ring from thin
+        # strips at original resolution (reflect maps row -1 -> 1, H -> H-2);
+        # the needed rows {0, 1} / {H-2, H-1} live in one half-cell.
+        def row_strip(half_row, offsets):
+            strip = depth_to_space(h[:, half_row:half_row + 1], rh)
+            t = strip[:, offsets]
+            t = jnp.pad(t, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+            return conv(t)[:, 0]
+
+        def col_strip(half_col, offsets):
+            strip = depth_to_space(h[:, :, half_col:half_col + 1], rh)
+            t = strip[:, :, offsets]
+            t = jnp.pad(t, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+            return conv(t)[:, :, 0]
+
+        top = row_strip(0, [1, 0, 1]).reshape(n, wp, r, co)
+        bot = row_strip(hp2 - 1, [rh - 2, rh - 1, rh - 2]).reshape(n, wp, r, co)
+        left = col_strip(0, [1, 0, 1]).reshape(n, hp, r, co)
+        right = col_strip(wp2 - 1, [rh - 2, rh - 1, rh - 2]).reshape(n, hp, r, co)
 
         yv = y.reshape(n, hp, wp, r, r, co)
         yv = yv.at[:, 0, :, 0, :, :].set(top)

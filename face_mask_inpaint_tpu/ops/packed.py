@@ -29,16 +29,38 @@ import numpy as np
 from face_mask_inpaint_tpu.ops.conv import conv2d
 
 __all__ = [
+    "use_half_tail",
     "space_to_depth",
     "depth_to_space",
     "pack_conv3x3_kernel",
     "pack_conv_transpose2x_kernel",
+    "pack_conv3x3_half_kernel",
     "packed_conv3x3",
     "packed_conv_transpose2x",
+    "packed_conv3x3_half_in",
     "packed_instance_norm_act",
     "packed_block_mean",
     "packed_leaky_relu",
 ]
+
+
+def use_half_tail() -> bool:
+    """Gate for the r-capped ("half") decoder-tail emission: the LAST
+    decoder block unpacks its operands and runs the convTs at r_in=1 so the
+    output lands 2-packed on the doubled grid instead of (2r)-packed, and
+    the Output head consumes that form via packed_conv3x3_half_in. Executed
+    convT FLOPs stop scaling with r² (flagship decoder4: 549+1097 GF ->
+    137+275 GF; Output conv 461 -> 206 GF) at the cost of one extra
+    depth_to_space per operand. MEASURED VERDICT (v5e, flagship bs16):
+    LOSES — 202.6 vs 220.4 imgs/s. XLA runs the r²-inflated dense packed
+    convs at ~190 TFLOP/s with free epilogue fusions; the half form's
+    full-res unpack materializations + the stride-2 half-grid conv cost
+    more than the MXU FLOPs saved (same story as the Pallas stencil
+    kernels, see ops/pallas/packed_convt.py). Kept opt-in
+    (FMI_HALF_TAIL=1), exactness pinned by tests/test_packed_ops.py."""
+    import os
+
+    return os.environ.get("FMI_HALF_TAIL", "0") == "1"
 
 
 def space_to_depth(x: jax.Array, r: int) -> jax.Array:
@@ -97,6 +119,57 @@ def packed_conv3x3(x: jax.Array, w: jax.Array, bias, r: int) -> jax.Array:
         return conv2d(x, w, bias, padding=w.shape[0] // 2)
     wp = pack_conv3x3_kernel(w, r).astype(x.dtype)
     y = conv2d(x, wp, None, padding=1)
+    if bias is not None:
+        y = y + jnp.tile(bias, r * r).astype(y.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def _conv3x3_half_scatter(r: int, kh: int, kw: int) -> np.ndarray:
+    """Scatter for a stride-1 'same' conv consumed at packing r from an
+    input packed at r/2 on the DOUBLE-density grid (an [N, 2Hp, 2Wp,
+    (r/2)²ci] map): a stride-2 conv with a 4x4 window of half-cells.
+    Executed FLOPs scale with (r/2)²·r² instead of r⁴ — for the flagship
+    Output head (r=4) that's 206 GF vs 461 GF per step, the difference
+    between paying the r²-dense inflation on BOTH operand packings or
+    only on the output one. M[th, tw, P, Q, dh, dw]: original tap
+    (dh, dw) of output offset Q=(a*r+b) reads half-cell offset
+    P=(ap*rh+bp) of the half-cell at window tap (th, tw)."""
+    rh = r // 2
+    m = np.zeros((4, 4, rh * rh, r * r, kh, kw), np.float32)
+    for a in range(r):
+        for dh in range(kh):
+            u = a + dh - (kh // 2)
+            hc = u // rh          # half-cell shift relative to 2*G
+            ap = u - hc * rh
+            th = hc + 1           # window tap (pad 1 on the left)
+            for b in range(r):
+                for dw in range(kw):
+                    v = b + dw - (kw // 2)
+                    wc = v // rh
+                    bp = v - wc * rh
+                    m[th, wc + 1, ap * rh + bp, a * r + b, dh, dw] = 1.0
+    return m
+
+
+def pack_conv3x3_half_kernel(w: jax.Array, r: int) -> jax.Array:
+    """w: [kh, kw, ci, co] -> [4, 4, (r/2)²ci, r²co] for the half-in form."""
+    kh, kw, ci, co = w.shape
+    rh = r // 2
+    m = jnp.asarray(_conv3x3_half_scatter(r, kh, kw), w.dtype)
+    wp = jnp.einsum("stPQhw,hwio->stPiQo", m, w)
+    return wp.reshape(4, 4, rh * rh * ci, r * r * co)
+
+
+def packed_conv3x3_half_in(x: jax.Array, w: jax.Array, bias, r: int) -> jax.Array:
+    """Stride-1 'same' conv at full resolution, input packed at r/2 on the
+    double grid ([N, 2Hp, 2Wp, (r/2)²ci]), output packed at r
+    ([N, Hp, Wp, r²co]). Zero padding matches the original conv exactly."""
+    assert r % 2 == 0 and r >= 2
+    wp = pack_conv3x3_half_kernel(w, r).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, wp, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
         y = y + jnp.tile(bias, r * r).astype(y.dtype)
     return y

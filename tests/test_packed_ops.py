@@ -258,6 +258,60 @@ def test_packed_output_head_kernel_matches_dense(rs, monkeypatch):
                                atol=2e-5)
 
 
+def test_packed_conv3x3_half_in(rs):
+    """The half-in conv (input 2-packed on the doubled grid, output
+    r-packed) == the plain 'same' zero-pad conv, away from the border
+    (the border ring is rebuilt separately by the Output head)."""
+    r = 4
+    x = jnp.asarray(rs.randn(2, 16, 16, 6), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 6, 5) * 0.3, jnp.float32)
+    b = jnp.asarray(rs.randn(5), jnp.float32)
+    ref = conv2d(x, w, b, padding=1)
+    xh = P.space_to_depth(x, 2)  # [N, 8, 8, 4*6]: rh=2 on the doubled grid
+    got = P.depth_to_space(P.packed_conv3x3_half_in(xh, w, b, r), r)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_half_tail_matches_full_packed(rs, monkeypatch):
+    """The r-capped ('half') decoder tail — ResBlockDecoder(half_output) +
+    Output(half_in) — matches both the full-packed and the plain unpacked
+    decode, values and gradients (FMI_HALF_TAIL gates the path)."""
+    key = jax.random.PRNGKey(0)
+    f = jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32)
+    z = jnp.asarray(rs.randn(2, 8, 8, 16), jnp.float32)
+    # threshold 16 @ 8x8 input: layer1 packs (r: 1->2), layer2 (last) has
+    # pack_in == 2 -> the half path engages
+    g_ref = define_g(**_dec_params(), use_attn=False, pack_threshold=10**9)
+    g_pk = define_g(**_dec_params(), use_attn=False, pack_threshold=16)
+    vs = g_ref.init(key, f, z=z, train=False)
+    ref = g_ref.apply(vs, f, z=z, train=False)
+
+    monkeypatch.setenv("FMI_HALF_TAIL", "1")
+    got_half = g_pk.apply(vs, f, z=z, train=False)
+    monkeypatch.setenv("FMI_HALF_TAIL", "0")
+    got_full = g_pk.apply(vs, f, z=z, train=False)
+    np.testing.assert_allclose(got_half, ref, atol=2e-5)
+    np.testing.assert_allclose(got_half, got_full, atol=2e-5)
+
+    # fused-pool form
+    monkeypatch.setenv("FMI_HALF_TAIL", "1")
+    pooled = g_pk.apply(vs, f, z=z, train=False, fuse_pool=4)
+    hw = ref.shape[1] // 4
+    np.testing.assert_allclose(
+        pooled, adaptive_avg_pool2d(ref, (hw, hw)), atol=2e-5)
+
+    # gradients through the half path
+    def loss(params, mod):
+        return jnp.sum(mod.apply({**vs, "params": params}, f, z=z,
+                                 train=False) ** 2)
+
+    g1 = jax.grad(loss)(vs["params"], g_ref)
+    g2 = jax.grad(loss)(vs["params"], g_pk)
+    gmax = max(float(jnp.max(jnp.abs(a))) for a in jax.tree.leaves(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, b, atol=3e-5 * gmax)
+
+
 def test_resgenerator_pair_handoff_matches_dense(rs, monkeypatch):
     """End-to-end: the decoder's (h, s) pair handoff + Output kernel path
     must equal the default dense packed tail."""
