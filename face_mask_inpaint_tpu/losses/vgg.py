@@ -26,7 +26,8 @@ from face_mask_inpaint_tpu.ops.resize import max_pool2d, scale_img
 
 Dtype = Any
 
-__all__ = ["VGG16Features", "vgg_loss", "style_loss_gram", "contextual_loss"]
+__all__ = ["VGG16Features", "vgg_loss", "gan_vgg_losses", "style_loss_gram",
+           "contextual_loss"]
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -130,6 +131,49 @@ def vgg_loss(
         elif loss_type == "contextual" and i == 3:
             loss = loss + contextual_loss(x, y) / dim
     return loss
+
+
+def gan_vgg_losses(
+    vgg_params,
+    gen: jax.Array,
+    gt: jax.Array,
+    src: jax.Array,
+    ref: jax.Array,
+    mask: jax.Array,
+    dtype: Dtype = jnp.float32,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The Stack A generator's three VGG terms — perceptual(gen, gt),
+    style(gen·(1-m), src), contextual(gen·m, ref·m) (loss.py:109-118) — in
+    TWO batched trunk passes instead of six.
+
+    Math is identical to three ``vgg_loss`` calls (convolutions are
+    batch-independent; pinned by tests/test_gan_semantics.py): the three
+    grad-carrying gen variants run as one 3N-image forward (one shared
+    backward), the three targets as one stop-gradiented 3N forward. On TPU
+    the batched trunks keep the MXU fed (bs24+ vs bs8 per program) and XLA
+    schedules two programs instead of six.
+
+    Returns the UNWEIGHTED (perceptual, style, contextual) terms.
+    """
+    m = mask[..., None].astype(gen.dtype) if mask.ndim == gen.ndim - 1 else mask
+    n = gen.shape[0]
+    model = VGG16Features(dtype=dtype)
+    x_stack = jnp.concatenate([gen, gen * (1.0 - m), gen * m], axis=0)
+    y_stack = jax.lax.stop_gradient(
+        jnp.concatenate([gt, src, ref * m], axis=0))
+    xs = model.apply({"params": vgg_params}, _preprocess(x_stack))
+    ys = [jax.lax.stop_gradient(y)
+          for y in model.apply({"params": vgg_params}, _preprocess(y_stack))]
+    perc = jnp.float32(0.0)
+    style = jnp.float32(0.0)
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        dim = float(x.shape[1] * x.shape[2] * x.shape[3])
+        c = float(x.shape[-1])
+        perc = perc + jnp.mean(jnp.abs(x[:n] - y[:n])) / dim
+        style = style + style_loss_gram(x[n:2 * n], y[n:2 * n]) / (c * c * dim)
+        if i == 3:
+            cx = contextual_loss(x[2 * n:], y[2 * n:]) / dim
+    return perc, style, cx
 
 
 def content_loss(inp: jax.Array, target: jax.Array) -> jax.Array:

@@ -207,8 +207,8 @@ class Conv2d(nn.Module, _SpectralMixin):
             ks = (ks, ks)
         in_ch = x.shape[-1] // (pack * pack)
         if concat_with is not None:
-            assert pack == 1 and self.groups == 1
-            in_ch += concat_with.shape[-1]
+            assert self.groups == 1
+            in_ch += concat_with.shape[-1] // (pack * pack)
         w = self.param(
             "kernel", self.kernel_init, (*ks, in_ch // self.groups, self.features)
         )
@@ -243,9 +243,19 @@ class Conv2d(nn.Module, _SpectralMixin):
                 "packed conv supports stride/dilation/groups only == 1")
             from face_mask_inpaint_tpu.ops.packed import packed_conv3x3
 
-            return packed_conv3x3(
-                x.astype(self.dtype), w.astype(self.dtype),
-                b.astype(self.dtype) if b is not None else None, pack)
+            bd = b.astype(self.dtype) if b is not None else None
+            if concat_with is not None:
+                # packed form of the summed-convs concat: two packed convs
+                # over the channel-split weights (UNet skip on the packed
+                # 256² stages)
+                c1 = x.shape[-1] // (pack * pack)
+                wd = w.astype(self.dtype)
+                return packed_conv3x3(
+                    x.astype(self.dtype), wd[:, :, :c1], None, pack
+                ) + packed_conv3x3(
+                    concat_with.astype(self.dtype), wd[:, :, c1:], bd, pack)
+            return packed_conv3x3(x.astype(self.dtype), w.astype(self.dtype),
+                                  bd, pack)
         if concat_with is not None:
             c1 = x.shape[-1]
             wd = w.astype(self.dtype)

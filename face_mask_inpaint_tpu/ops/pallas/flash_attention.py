@@ -301,13 +301,25 @@ def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
 def flash_attention(
     q: jax.Array,
     values,
-    tq: int = 512,
-    tk: int = 1024,
+    tq: int | None = None,
+    tk: int | None = None,
 ):
     """out_j = softmax(q q^T) @ v_j with the map computed once in VMEM.
 
     q: [N, L, D]; values: list of [N, L, C_j]. Fully fused forward AND
-    backward (dq/dk/dv Pallas kernels; the q == k tie sums both roles)."""
+    backward (dq/dk/dv Pallas kernels; the q == k tie sums both roles).
+
+    Tile defaults (overridable via FMI_FLASH_TQ / FMI_FLASH_TK): forward
+    (1024, 1024) — measured ~1.2 ms/step better than (512, 1024) at the
+    flagship's bf16 16k-token map — except f32 inputs keep tq=512 (the
+    f32 train path regressed with the bigger tile)."""
+    import os
+
+    if tk is None:
+        tk = int(os.environ.get("FMI_FLASH_TK", "1024"))
+    if tq is None:
+        tq = int(os.environ.get(
+            "FMI_FLASH_TQ", "512" if q.dtype == jnp.float32 else "1024"))
 
     @jax.custom_vjp
     def _op(q, vs):
@@ -323,7 +335,10 @@ def flash_attention(
         o_cat = jnp.concatenate(list(outs), axis=-1) if len(outs) > 1 else outs[0]
         do_cat = (jnp.concatenate([x.astype(v_cat.dtype) for x in g], axis=-1)
                   if len(g) > 1 else g[0].astype(v_cat.dtype))
-        dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, tq, tk)
+        # backward tiles capped at 512: the dq/dkv kernels hold ~2x the
+        # forward's live tiles, and (tq=1024, f32 values) exceeds the 16M
+        # scoped-vmem limit; the measured 1024-tile win is forward-only
+        dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, min(tq, 512), tk)
         dvs, off = [], 0
         for vv in vs:
             c = vv.shape[-1]

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from face_mask_inpaint_tpu.losses.gan import gan_loss
-from face_mask_inpaint_tpu.losses.vgg import vgg_loss
+from face_mask_inpaint_tpu.losses.vgg import gan_vgg_losses, vgg_loss
 from face_mask_inpaint_tpu.train.state import GANTrainState, ModuleState
 
 __all__ = ["make_gan_train_step", "make_gan_eval_step", "gan_losses"]
@@ -69,10 +69,24 @@ def gan_losses(
     d_fake, d_mut = _apply_d(discriminator, d_vars, gen, train)
     loss_ad_g = gan_loss(d_fake, True, False, gan_mode) * lambda_g
     loss_l1_g = jnp.mean(jnp.abs(gen - gt))
-    perc = vgg_loss(vgg_params, gen, gt, "perceptual") * LAMBDA_PERC
-    m = mask[..., None].astype(gen.dtype)
-    style = vgg_loss(vgg_params, gen * (1.0 - m), src, "style") * LAMBDA_STYLE
-    cx = vgg_loss(vgg_params, gen * m, ref * m, "contextual") * LAMBDA_CX
+    # Six single-pair VGG trunk forwards, as in the reference. The batched
+    # alternative (losses/vgg.py:gan_vgg_losses — two 3N-image passes,
+    # identical math, parity-pinned) MEASURED SLOWER on v5e: 48.4-49.0 vs
+    # 51.0 imgs/s @ bs8 f32 — XLA overlaps/schedules the six small
+    # programs better than the two wide ones. FMI_BATCHED_VGG=1 opts in.
+    import os
+
+    if os.environ.get("FMI_BATCHED_VGG") == "1":
+        perc, style, cx = gan_vgg_losses(vgg_params, gen, gt, src, ref, mask)
+        perc, style, cx = (perc * LAMBDA_PERC, style * LAMBDA_STYLE,
+                           cx * LAMBDA_CX)
+    else:
+        perc = vgg_loss(vgg_params, gen, gt, "perceptual") * LAMBDA_PERC
+        mm = mask[..., None].astype(gen.dtype)
+        style = vgg_loss(vgg_params, gen * (1.0 - mm), src,
+                         "style") * LAMBDA_STYLE
+        cx = vgg_loss(vgg_params, gen * mm, ref * mm,
+                      "contextual") * LAMBDA_CX
     g_total = loss_ad_g + loss_l1_g + perc + style + cx
     aux = dict(
         gen=gen, g_mut=g_mut, d_mut=d_mut,

@@ -75,6 +75,37 @@ def test_g_loss_decomposition_matches_reference_schedule():
         rtol=1e-4)
 
 
+def test_batched_vgg_losses_match_separate_calls_and_grads():
+    """gan_vgg_losses (two 3N-batched trunk passes) == three separate
+    vgg_loss calls — values AND gradients w.r.t. the generated image."""
+    from face_mask_inpaint_tpu.losses.vgg import gan_vgg_losses
+
+    rng = np.random.RandomState(1)
+    hw = 32
+    gen_img = jnp.asarray(rng.rand(2, hw, hw, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(2, hw, hw, 3), jnp.float32)
+    src = jnp.asarray(rng.rand(2, hw, hw, 3), jnp.float32)
+    ref = jnp.asarray(rng.rand(2, hw, hw, 3), jnp.float32)
+    mask = jnp.asarray(rng.rand(2, hw, hw) > 0.5, jnp.float32)
+    vgg = VGG16Features().init(KEY, gt)["params"]
+    m = mask[..., None]
+
+    def separate(g):
+        return (vgg_loss(vgg, g, gt, "perceptual"),
+                vgg_loss(vgg, g * (1 - m), src, "style"),
+                vgg_loss(vgg, g * m, ref * m, "contextual"))
+
+    def batched(g):
+        return gan_vgg_losses(vgg, g, gt, src, ref, mask)
+
+    for a, b in zip(separate(gen_img), batched(gen_img)):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-5)
+    g1 = jax.grad(lambda g: sum(separate(g)))(gen_img)
+    g2 = jax.grad(lambda g: sum(batched(g)))(gen_img)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6,
+                               rtol=2e-4)
+
+
 def test_g_gradients_do_not_depend_on_d_grad_path():
     """The G step treats D as a constant (the functional _freeze): grads of
     the G loss w.r.t. G params must be computable and nonzero while D params

@@ -44,6 +44,35 @@ def test_mask_detector_modes():
     assert mask.shape == (2, 32, 32) and mask.dtype == jnp.float32
 
 
+def test_unet_packed_execution_matches_dense(monkeypatch):
+    """UNet pack=2 (space-to-depth 256²-stage execution, opt-in
+    FMI_PACKED_UNET=1) == dense — logits, predict_mask, and train-mode
+    batch stats. Kept opt-in: measured slower on v5e (models/unet.py)."""
+    from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
+    det = MaskDetector()
+    vs = det.init(KEY, x)
+    dense_logits = det.apply(vs, x)
+    packed_logits = det.apply(vs, x, pack=2)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(packed_logits, 2)),
+        np.asarray(dense_logits), atol=1e-5)
+
+    monkeypatch.setenv("FMI_PACKED_UNET", "1")
+    m_packed = det.apply(vs, x, method=MaskDetector.predict_mask)
+    monkeypatch.setenv("FMI_PACKED_UNET", "0")
+    m_dense = det.apply(vs, x, method=MaskDetector.predict_mask)
+    assert m_packed.shape == (2, 32, 32)
+    np.testing.assert_array_equal(np.asarray(m_packed), np.asarray(m_dense))
+
+    _, mut_p = det.apply(vs, x, pack=2, train=True, mutable=["batch_stats"])
+    _, mut_d = det.apply(vs, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves(mut_p), jax.tree.leaves(mut_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_res_encoder_prior_vs_posterior():
     enc_args = {k: v for k, v in ENC.items() if k != "type"}
     src_e = define_e(**enc_args, encoder_type="src")
