@@ -37,10 +37,16 @@ log = logging.getLogger(__name__)
 
 
 def _load(filename) -> Image.Image:
-    """File loader (dataloader.py:95-103): npy/npz via numpy, else PIL."""
+    """File loader (dataloader.py:95-103): npy/npz via numpy, .pt/.pth as a
+    saved torch tensor image (torch imported lazily — the data layer works
+    without it unless such files are actually present), else PIL."""
     ext = splitext(str(filename))[1]
     if ext in (".npz", ".npy"):
         return Image.fromarray(np.load(filename))
+    if ext in (".pt", ".pth"):
+        import torch
+
+        return Image.fromarray(torch.load(filename).numpy())
     return Image.open(filename)
 
 

@@ -124,7 +124,9 @@ def vgg_loss(
     for i, (x, y) in enumerate(zip(xs, ys)):
         dim = float(x.shape[1] * x.shape[2] * x.shape[3])
         if loss_type == "perceptual":
-            loss = loss + jnp.mean(jnp.abs(x - y)) / dim
+            # f32 reduction regardless of trunk compute dtype
+            loss = loss + jnp.mean(
+                jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))) / dim
         elif loss_type == "style":
             c = float(x.shape[-1])
             loss = loss + style_loss_gram(x, y) / (c * c * dim)

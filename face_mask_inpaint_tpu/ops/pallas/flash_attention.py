@@ -335,10 +335,13 @@ def flash_attention(
         o_cat = jnp.concatenate(list(outs), axis=-1) if len(outs) > 1 else outs[0]
         do_cat = (jnp.concatenate([x.astype(v_cat.dtype) for x in g], axis=-1)
                   if len(g) > 1 else g[0].astype(v_cat.dtype))
-        # backward tiles capped at 512: the dq/dkv kernels hold ~2x the
-        # forward's live tiles, and (tq=1024, f32 values) exceeds the 16M
-        # scoped-vmem limit; the measured 1024-tile win is forward-only
-        dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, min(tq, 512), tk)
+        # backward tiles capped at 512 (FMI_FLASH_BWD_TQ overrides): the
+        # dq/dkv kernels hold ~2x the forward's live tiles, and (tq=1024,
+        # f32 values) exceeds the 16M scoped-vmem limit; the measured
+        # 1024-tile win is forward-only (bwd tq=1024 also A/B'd slower at
+        # the bf16 train shape)
+        tq_b = int(os.environ.get("FMI_FLASH_BWD_TQ", min(tq, 512)))
+        dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, tq_b, tk)
         dvs, off = [], 0
         for vv in vs:
             c = vv.shape[-1]

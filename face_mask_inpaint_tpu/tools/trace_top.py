@@ -15,18 +15,55 @@ import os
 import sys
 
 
-def main():
-    root = sys.argv[1]
-    n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+def load_trace_events(root):
+    """Events of the newest *.trace.json.gz under root (None if absent)."""
     paths = sorted(glob.glob(os.path.join(root, "**", "*.trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
+        return None, None
+    with gzip.open(paths[-1], "rt") as f:
+        return json.load(f)["traceEvents"], paths[-1]
+
+
+def device_op_time_s(root) -> float:
+    """Summed device-side op time (seconds) across the trace window.
+
+    The throughput ground truth on this box: wall-clock through the remote
+    relay cannot be fenced reliably (block_until_ready returns before the
+    intermediate executables of a multi-program chain have run), but the
+    per-op device durations are hardware-derived."""
+    events, _ = load_trace_events(root)
+    if events is None:
+        return 0.0
+    pid_name, tid_name = {}, {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                pid_name[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_name.items()
+                if "TPU" in n or "/device" in n.lower() or "Device" in n}
+    wall = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        tname = tid_name.get((e.get("pid"), e.get("tid")), "")
+        if e.get("pid") in dev_pids or "XLA Op" in tname or "Steps" in tname:
+            name = e.get("name", "?")
+            if name.startswith("jit_") or name == "Steps":
+                continue
+            wall += e.get("dur", 0)
+    return wall / 1e6
+
+
+def main():
+    root = sys.argv[1]
+    n_top = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    events, path = load_trace_events(root)
+    if events is None:
         print("no trace.json.gz under", root)
         return
-    path = paths[-1]
-    with gzip.open(path, "rt") as f:
-        data = json.load(f)
-    events = data["traceEvents"]
     # find device-side process ids (names contain TPU/device or XLA Ops)
     pid_name = {}
     tid_name = {}

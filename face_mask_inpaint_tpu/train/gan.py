@@ -74,19 +74,25 @@ def gan_losses(
     # identical math, parity-pinned) MEASURED SLOWER on v5e: 48.4-49.0 vs
     # 51.0 imgs/s @ bs8 f32 — XLA overlaps/schedules the six small
     # programs better than the two wide ones. FMI_BATCHED_VGG=1 opts in.
+    # The VGG trunk computes in the generator's compute dtype: a bf16-mixed
+    # training step (f32 params/stats/reductions, bf16 MXU passes) keeps the
+    # whole loss stack in one precision policy — the TPU analog of the
+    # reference's effective A100 default (torch conv TF32).
     import os
 
     if os.environ.get("FMI_BATCHED_VGG") == "1":
-        perc, style, cx = gan_vgg_losses(vgg_params, gen, gt, src, ref, mask)
+        perc, style, cx = gan_vgg_losses(vgg_params, gen, gt, src, ref, mask,
+                                         dtype=gen.dtype)
         perc, style, cx = (perc * LAMBDA_PERC, style * LAMBDA_STYLE,
                            cx * LAMBDA_CX)
     else:
-        perc = vgg_loss(vgg_params, gen, gt, "perceptual") * LAMBDA_PERC
+        perc = vgg_loss(vgg_params, gen, gt, "perceptual",
+                        dtype=gen.dtype) * LAMBDA_PERC
         mm = mask[..., None].astype(gen.dtype)
-        style = vgg_loss(vgg_params, gen * (1.0 - mm), src,
-                         "style") * LAMBDA_STYLE
-        cx = vgg_loss(vgg_params, gen * mm, ref * mm,
-                      "contextual") * LAMBDA_CX
+        style = vgg_loss(vgg_params, gen * (1.0 - mm), src, "style",
+                         dtype=gen.dtype) * LAMBDA_STYLE
+        cx = vgg_loss(vgg_params, gen * mm, ref * mm, "contextual",
+                      dtype=gen.dtype) * LAMBDA_CX
     g_total = loss_ad_g + loss_l1_g + perc + style + cx
     aux = dict(
         gen=gen, g_mut=g_mut, d_mut=d_mut,

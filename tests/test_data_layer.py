@@ -76,6 +76,23 @@ def test_best_reference_map_cached(fixture_tree):
     assert ds2.best_reference_map == ds.best_reference_map
 
 
+def test_load_dispatches_npy_pt_and_image(tmp_path):
+    """_load extension dispatch (reference dataloader.py:95-103): .npy/.npz
+    via numpy, .pt/.pth as saved torch tensors, everything else via PIL."""
+    import torch
+    from PIL import Image
+
+    from face_mask_inpaint_tpu.data.dataset import _load
+
+    arr = (np.arange(48).reshape(4, 4, 3) * 5).astype(np.uint8)
+    np.save(tmp_path / "a.npy", arr)
+    torch.save(torch.from_numpy(arr), tmp_path / "a.pt")
+    Image.fromarray(arr).save(tmp_path / "a.png")
+    for fn in ("a.npy", "a.pt", "a.png"):
+        got = np.asarray(_load(tmp_path / fn))
+        np.testing.assert_array_equal(got, arr, err_msg=fn)
+
+
 def test_identity_filter(tmp_path):
     tree = make_synthetic_celeba(tmp_path, n_identities=2, images_per_identity=1)
     with pytest.raises(RuntimeError):

@@ -88,7 +88,41 @@ def test_gan_train_step_updates_both_networks():
     assert int(state3.step) == 2
 
 
-def test_gan_train_step_data_parallel():
+def test_gan_train_step_bf16_mixed_matches_f32():
+    """The bf16-mixed training step (--compute_dtype bfloat16: bf16 MXU
+    passes, f32 params/opt/stats/loss reductions — the TPU analog of the
+    reference's A100 TF32-conv default) stays finite, keeps f32 params,
+    and lands within precision noise of the full-f32 losses."""
+    def build(dt):
+        generator = ReferenceFill(encoder_params=ENC, decoder_params=DEC,
+                                  use_att=True, out_size=(32, 32), dtype=dt)
+        discriminator = define_d(ndf=4, img_f=16, layers=3,
+                                 init_type="normal", dtype=dt)
+        batch = _tiny_batch(hw=32)
+        g_vars = generator.init({"params": KEY, "sample": KEY},
+                                batch["src_img"], batch["ref_img"],
+                                batch["mask"])
+        d_vars = discriminator.init(KEY, batch["gt_img"])
+        vgg = VGG16Features(dtype=dt).init(KEY, batch["gt_img"])["params"]
+        g_tx, d_tx = adam(1e-4), adam(1e-4)
+        gs = ModuleState.from_variables(g_vars)
+        ds = ModuleState.from_variables(d_vars)
+        state = GANTrainState(
+            step=jnp.zeros([], jnp.int32), generator=gs, discriminator=ds,
+            g_opt_state=g_tx.init(gs.params), d_opt_state=d_tx.init(ds.params),
+            rng=KEY)
+        step = jax.jit(make_gan_train_step(
+            generator, discriminator, g_tx, d_tx, vgg))
+        return step(state, batch)
+
+    st32, m32 = build(jnp.float32)
+    st16, m16 = build(jnp.bfloat16)
+    for leaf in jax.tree.leaves(st16.generator.params):
+        assert leaf.dtype == jnp.float32  # mixed: params stay f32
+    for k in ("D_loss", "G_loss", "l1_loss", "adv_loss"):
+        a, b = float(m32[k]), float(m16[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) < 0.05 * max(abs(a), 0.05), (k, a, b)
     mesh = make_mesh()  # 8 virtual CPU devices
     generator, discriminator, g_vars, d_vars, vgg_params, batch = _build_gan()
     batch = {k: jnp.concatenate([v] * 4, 0) for k, v in batch.items()}  # N=8

@@ -108,6 +108,14 @@ def get_args():
     parser.add_argument('--inception_weights', type=str, default='',
                         help='torchvision inception_v3 .pth for the fid '
                              'eval option (random features + warning if unset)')
+    parser.add_argument('--compute_dtype', type=str, default='bfloat16',
+                        choices=['float32', 'bfloat16'],
+                        help='MXU compute precision for G/D/VGG passes. '
+                             'Params, optimizer state, norm stats and loss '
+                             'reductions stay float32 either way. bfloat16 '
+                             '(default) is the TPU analog of the reference '
+                             'A100 default (torch runs convs in TF32); '
+                             'float32 forces full precision (~3x slower)')
     from face_mask_inpaint_tpu.utils.profiling import add_profile_args
     add_profile_args(parser)
     args = parser.parse_args()
@@ -181,10 +189,12 @@ def main():
                      'masks, as the reference does)', args.mask_detector_path)
 
     encoder_params, decoder_params, disc_params = process_params(args)
+    cdt = jnp.dtype(args.compute_dtype)
     generator = ReferenceFill(
         encoder_params=encoder_params, decoder_params=decoder_params,
-        use_att=bool(args.use_att), out_size=(args.out_size, args.out_size))
-    discriminator = define_d(**disc_params)
+        use_att=bool(args.use_att), out_size=(args.out_size, args.out_size),
+        dtype=cdt)
+    discriminator = define_d(**disc_params, dtype=cdt)
 
     mesh = make_mesh()
     n_dev = mesh.shape['data']
