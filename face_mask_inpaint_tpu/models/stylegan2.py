@@ -55,6 +55,18 @@ __all__ = [
 ]
 
 
+def _packed_synth_max_ch() -> int:
+    """Channel threshold at or below which a synthesis stage executes
+    space-to-depth packed (ops/packed.py). 0 disables. Env knobs:
+    FMI_PACKED_SYNTH=0 turns packing off; FMI_PACKED_SYNTH_MAX_CH overrides
+    the threshold (tests force small generators onto the packed path)."""
+    import os
+
+    if os.environ.get("FMI_PACKED_SYNTH", "1") == "0":
+        return 0
+    return int(os.environ.get("FMI_PACKED_SYNTH_MAX_CH", "64"))
+
+
 def channels_for(size: int, channel_multiplier: int = 2) -> dict[int, int]:
     """Per-resolution channel table (model.py:398-408)."""
     return {
@@ -150,9 +162,21 @@ class ModulatedConv2d(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, style: jax.Array) -> jax.Array:
-        """x: [N, H, W, Cin]; style: [N, style_dim]."""
-        in_channel = x.shape[-1]
+    def __call__(self, x: jax.Array, style: jax.Array, pack_in: int = 1,
+                 packed_out: bool = False) -> jax.Array:
+        """x: [N, H, W, Cin] (pack_in == 1) or the space-to-depth packed
+        [N, H/r, W/r, r²Cin] (ops/packed.py); style: [N, style_dim].
+
+        Packed execution (pack_in > 1 and/or packed_out) is an execution
+        strategy only — identical math, same param tree. With packed_out the
+        upsample path's convT+blur pipeline is fused into one packed stencil
+        (packed_upsample_conv) and the output lands packed at 2*pack_in on
+        the same grid; non-upsample packed convs keep pack_in."""
+        from face_mask_inpaint_tpu.ops.packed import (
+            pack_conv1x1_kernel, packed_channel_scale, packed_conv3x3,
+            packed_upsample_conv)
+
+        in_channel = x.shape[-1] // (pack_in * pack_in)
         k = self.kernel_size
         w = self.param(
             "weight", nn.initializers.normal(stddev=1.0),
@@ -171,8 +195,29 @@ class ModulatedConv2d(nn.Module):
                 jnp.einsum("hwio,bi->bo", ws * ws, s * s) + 1e-8
             )
 
-        xs = x * s[:, None, None, :].astype(x.dtype)
+        if pack_in > 1:
+            xs = packed_channel_scale(x, s, pack_in)
+        else:
+            xs = x * s[:, None, None, :].astype(x.dtype)
         wd = ws.astype(self.dtype)
+        if self.upsample and (packed_out or pack_in > 1):
+            assert k == 3, "packed upsample stencil is derived for k == 3"
+            out = packed_upsample_conv(
+                xs, wd, pack_in, blur_taps=tuple(self.blur_kernel))
+            if self.demodulate:
+                out = packed_channel_scale(out, demod, 2 * pack_in)
+            return out
+        if pack_in > 1:
+            assert not self.downsample
+            if k == 1:
+                out = conv2d(
+                    xs, pack_conv1x1_kernel(wd, pack_in).astype(xs.dtype),
+                    None, padding=0)
+            else:
+                out = packed_conv3x3(xs, wd, None, pack_in)
+            if self.demodulate:
+                out = packed_channel_scale(out, demod, pack_in)
+            return out
         if self.upsample:
             out = conv_transpose2d(xs, wd, stride=2, padding=0, output_padding=0)
             factor = 2
@@ -198,11 +243,29 @@ class ModulatedConv2d(nn.Module):
 
 
 class NoiseInjection(nn.Module):
-    """model.py:282-294; per-layer scalar weight starting at zero."""
+    """model.py:282-294; per-layer scalar weight starting at zero.
+
+    packed_r > 1: ``image`` is the 5-D packed view [N, G, G, r², C]
+    (ops/packed.py slot-major layout); ``noise`` is the full-resolution
+    [*, G*r, G*r, 1] map (drawn here with the SAME rng stream as the
+    unpacked path when None) and is space-to-depth'd to broadcast per slot."""
 
     @nn.compact
-    def __call__(self, image: jax.Array, noise: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, image: jax.Array, noise: Optional[jax.Array] = None,
+                 packed_r: int = 1) -> jax.Array:
         w = self.param("weight", nn.initializers.zeros, (1,))
+        if packed_r > 1:
+            from face_mask_inpaint_tpu.ops.packed import space_to_depth
+
+            n, g1, g2, _, _ = image.shape
+            h, wd = g1 * packed_r, g2 * packed_r
+            if noise is None:
+                noise = jax.random.normal(
+                    self.make_rng("noise"), (n, h, wd, 1), image.dtype)
+            noise_p = space_to_depth(
+                jnp.broadcast_to(noise, (n, h, wd, 1)).astype(image.dtype),
+                packed_r)[..., None]
+            return image + w.astype(image.dtype) * noise_p
         if noise is None:
             n, h, wd, _ = image.shape
             noise = jax.random.normal(self.make_rng("noise"), (n, h, wd, 1), image.dtype)
@@ -220,14 +283,23 @@ class StyledConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, style, noise=None):
+    def __call__(self, x, style, noise=None, pack_in: int = 1,
+                 packed_out: bool = False):
         out = ModulatedConv2d(
             self.out_channel, self.kernel_size, demodulate=self.demodulate,
             upsample=self.upsample, blur_kernel=self.blur_kernel,
             dtype=self.dtype, name="conv",
-        )(x, style)
-        out = NoiseInjection(name="noise")(out, noise)
+        )(x, style, pack_in=pack_in, packed_out=packed_out)
+        r = pack_in * (2 if self.upsample and (packed_out or pack_in > 1) else 1)
         bias = self.param("activate_bias", nn.initializers.zeros, (self.out_channel,))
+        if r > 1:
+            # packed noise + bias + leaky: per-slot noise broadcasts over the
+            # original channel axis of the slot-major packed layout
+            n, g1, g2, cc = out.shape
+            o5 = out.reshape(n, g1, g2, r * r, self.out_channel)
+            o5 = NoiseInjection(name="noise")(o5, noise, packed_r=r)
+            return fused_leaky_relu(o5, bias).reshape(n, g1, g2, cc)
+        out = NoiseInjection(name="noise")(out, noise)
         return fused_leaky_relu(out, bias)
 
 
@@ -239,14 +311,30 @@ class ToRGB(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, style, skip=None):
+    def __call__(self, x, style, skip=None, pack_in: int = 1,
+                 skip_pack_in: int = 1):
+        """pack_in: packing of x (output inherits it). skip_pack_in: packing
+        of the incoming skip; it is upsampled on the packed grid to land at
+        2*skip_pack_in, which must equal the output packing (the caller
+        depth_to_spaces the skip by 2 first when grids differ)."""
+        from face_mask_inpaint_tpu.ops.packed import packed_skip_upsample
+
         out = ModulatedConv2d(
             3, 1, demodulate=False, dtype=self.dtype, name="conv"
-        )(x, style)
+        )(x, style, pack_in=pack_in)
         bias = self.param("bias", nn.initializers.zeros, (3,))
-        out = out + bias.astype(out.dtype)
+        if pack_in > 1:
+            bias_p = jnp.tile(bias, pack_in * pack_in)
+            out = out + bias_p.astype(out.dtype)
+        else:
+            out = out + bias.astype(out.dtype)
         if skip is not None:
-            skip = upsample_2d(skip, make_kernel(self.blur_kernel), factor=2)
+            if pack_in > 1:
+                assert 2 * skip_pack_in == pack_in, (skip_pack_in, pack_in)
+                skip = packed_skip_upsample(
+                    skip, skip_pack_in, blur_taps=tuple(self.blur_kernel))
+            else:
+                skip = upsample_2d(skip, make_kernel(self.blur_kernel), factor=2)
             out = out + skip
         return out
 
@@ -400,14 +488,49 @@ class Generator(nn.Module):
         out = self.conv1(out, latent[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latent[:, 1])
 
+        # Packed execution of the high-resolution tail (ops/packed.py): the
+        # 512²/1024² stages have 64/32 channels — lane-starved and
+        # layout-copy-bound on TPU (measured ~11 ms/iter of pure relayout
+        # copies at the config-4 bench, round 3). Stages whose channel count
+        # is <= the threshold run space-to-depth packed at r=2 (4x channels):
+        # the upsample conv+blur is one fused stencil with zero FLOP
+        # inflation, the 3x3 convs pay 4x executed FLOPs but run at MXU
+        # peak, and the r=2-everywhere policy (depth_to_space between
+        # stages) keeps inflation from compounding. Identical math, same
+        # param tree; FMI_PACKED_SYNTH=0 disables.
+        from face_mask_inpaint_tpu.ops.packed import depth_to_space
+
+        max_ch = _packed_synth_max_ch()
+        r = 1  # current packing of `out` (and `skip`)
         i = 1
         for idx in range(len(self.to_rgbs)):
             conv_a = self.convs[2 * idx]
             conv_b = self.convs[2 * idx + 1]
-            out = conv_a(out, latent[:, i], noise=noise[1 + 2 * idx])
-            out = conv_b(out, latent[:, i + 1], noise=noise[2 + 2 * idx])
-            skip = self.to_rgbs[idx](out, latent[:, i + 2], skip)
+            packed = conv_a.out_channel <= max_ch
+            if r > 1:
+                # r=2-everywhere: unpack onto the doubled grid before the
+                # next upsample (packed stages only ever see r in {1, 2})
+                out = depth_to_space(out, r)
+                skip = depth_to_space(skip, r)
+                r = 1
+            if packed:
+                out = conv_a(out, latent[:, i], noise=noise[1 + 2 * idx],
+                             pack_in=1, packed_out=True)
+                out = conv_b(out, latent[:, i + 1], noise=noise[2 + 2 * idx],
+                             pack_in=2)
+                skip = self.to_rgbs[idx](out, latent[:, i + 2], skip,
+                                         pack_in=2, skip_pack_in=1)
+                r = 2
+            else:
+                out = conv_a(out, latent[:, i], noise=noise[1 + 2 * idx])
+                out = conv_b(out, latent[:, i + 1], noise=noise[2 + 2 * idx])
+                skip = self.to_rgbs[idx](out, latent[:, i + 2], skip)
             i += 2
+
+        if r > 1:
+            skip = depth_to_space(skip, r)
+            if return_features:
+                out = depth_to_space(out, r)
 
         image = skip
         if return_latents:

@@ -71,10 +71,37 @@ def space_to_depth(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(n, h // r, w // r, r * r * c)
 
 
+@functools.lru_cache(maxsize=None)
+def _d2s_kernel_np(r: int, c: int) -> np.ndarray:
+    """Selection kernel expressing depth_to_space as a transposed conv:
+    out[rg+a, rw+b, ch] = x[g, w, (a*r+b)*c + ch] via lhs_dilation=r,
+    pad (r-1, r-1), kernel tap [r-1-a, r-1-b]."""
+    k = np.zeros((r, r, r * r * c, c), np.float32)
+    for a in range(r):
+        for b in range(r):
+            for ch in range(c):
+                k[r - 1 - a, r - 1 - b, (a * r + b) * c + ch, ch] = 1.0
+    return k
+
+
 def depth_to_space(x: jax.Array, r: int) -> jax.Array:
-    """Inverse of space_to_depth."""
+    """Inverse of space_to_depth.
+
+    Small original channel counts (c <= 8, e.g. the final RGB image) run as
+    a dilated selection conv instead of the 6-D transpose: the interleave's
+    minor axis is c, and a c=3 transpose runs at ~2% lane efficiency on TPU
+    (measured 2.8 ms for a [4, 1024, 1024, 3] unpack vs ~1.2 ms less via the
+    conv form, round 3). The conv's zero-inflated MACs are trivial at these
+    widths; larger c keeps the reshape/transpose (the conv form's MACs scale
+    with c² and would hit the MXU for real)."""
     n, hp, wp, cc = x.shape
     c = cc // (r * r)
+    if c <= 8:
+        k = jnp.asarray(_d2s_kernel_np(r, c), x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1),
+            padding=((r - 1, r - 1), (r - 1, r - 1)), lhs_dilation=(r, r),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     x = x.reshape(n, hp, wp, r, r, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, hp * r, wp * r, c)
@@ -270,3 +297,136 @@ def packed_block_mean(x: jax.Array, r: int) -> jax.Array:
     n, hp, wp, cc = x.shape
     c = cc // (r * r)
     return jnp.mean(x.reshape(n, hp, wp, r * r, c), axis=3)
+
+
+# ---------------------------------------------------------------------------
+# Packed execution of the StyleGAN2 synthesis tail (models/stylegan2.py).
+#
+# The reference's StyledConv upsample is ConvTranspose2d(k=3, s=2, p=0) followed
+# by an upfirdn2d blur with pads (1, 1) (stylegan2/model.py:251-277, 36-60).
+# Both are linear, so they compose into ONE 6-tap stride-2 upsampling stencil:
+#
+#   y[o] = sum_i C[o - 2i] x[i],   C[j] = sum_t f[t] W[j + 2 - t],  j in [-2, 3]
+#
+# (per axis; f is the gained blur kernel, W the convT tap). Each output parity
+# has exactly 3 taps per axis, so on the packed grid the whole upsample+blur is
+# a single 3x3 window conv from r-packed input to 2r-packed output with ZERO
+# executed-FLOP inflation at r_in=1 (the [3, 3, ci, 4co] kernel holds exactly
+# the true 9 taps x 4 phases). ToRGB's skip upsample (upfirdn2d up=2, pads
+# (2, 1) -> taps j in [-1, 2]) uses the same scatter with a per-channel
+# (depthwise) kernel. See models/stylegan2.py Generator for the execution
+# policy.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _up2_scatter(r_in: int, j_min: int, j_max: int) -> np.ndarray:
+    """Scatter for y[o] = sum_i C[o - 2i] x[i] maps (stride-2 upsampling with
+    taps j in [j_min, j_max]), from r_in-packed input to (2*r_in)-packed
+    output on the SAME block grid. Returns M[sh, sw, P, Q, a, b] over block
+    shifts {-1, 0, +1} with a = jh - j_min (tap index)."""
+    r_out = 2 * r_in
+    nj = j_max - j_min + 1
+    m = np.zeros((3, 3, r_in * r_in, r_out * r_out, nj, nj), np.float32)
+
+    def taps(A):
+        out = []
+        for j in range(j_min, j_max + 1):
+            if (A - j) % 2:
+                continue
+            q = (A - j) // 2
+            s = q // r_in  # floor division: q < 0 -> previous block
+            p = q - s * r_in
+            assert -1 <= s <= 1, (r_in, j_min, j_max, A, j, s)
+            out.append((j - j_min, s, p))
+        return out
+
+    for A in range(r_out):
+        for a, sh, ap in taps(A):
+            for B in range(r_out):
+                for b, sw, bp in taps(B):
+                    m[sh + 1, sw + 1, ap * r_in + bp, A * r_out + B, a, b] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _upsample_compose(r_in: int, blur_taps: tuple, gain: float) -> np.ndarray:
+    """Static part of the fused convT(k=3, s=2, p=0) + blur(pads (1, 1))
+    packed kernel: S[sh, sw, P, Q, th, tw] = sum_ab M[..a, b] H[a, th] H[b, tw]
+    with H[alpha, t] = g * k1[alpha - t] (the per-axis blur/convT composition,
+    alpha = j + 2)."""
+    k1 = np.asarray(blur_taps, np.float32)
+    k1 = k1 / k1.sum()
+    g = float(np.sqrt(gain))
+    nb = len(k1)
+    h = np.zeros((4 + nb - 2, 3), np.float32)  # alpha in [0, nb+1], t in [0,2]
+    for alpha in range(h.shape[0]):
+        for t in range(3):
+            tau = alpha - t
+            if 0 <= tau < nb:
+                h[alpha, t] = g * k1[tau]
+    m = _up2_scatter(r_in, -2, h.shape[0] - 3)  # j_max = (nb-2)+1
+    return np.einsum("swPQab,at,bu->swPQtu", m, h, h)
+
+
+def pack_upsample_conv_kernel(w: jax.Array, r_in: int,
+                              blur_taps=(1, 3, 3, 1)) -> jax.Array:
+    """Packed kernel for the fused modulated-upsample: w [3, 3, ci, co]
+    (torch convT semantics as in ops/conv.py) -> [3, 3, r²ci, (2r)²co].
+    Blur gain is factor² = 4 (upfirdn Upsample semantics, model.py:30-49)."""
+    _, _, ci, co = w.shape
+    s = jnp.asarray(_upsample_compose(r_in, tuple(blur_taps), 4.0), jnp.float32)
+    wp = jnp.einsum("swPQtu,tuio->swPiQo", s, w.astype(jnp.float32))
+    return wp.reshape(3, 3, r_in * r_in * ci, (2 * r_in) ** 2 * co)
+
+
+def packed_upsample_conv(x: jax.Array, w: jax.Array, r_in: int,
+                         blur_taps=(1, 3, 3, 1)) -> jax.Array:
+    """Fused ConvTranspose2d(k=3, s=2, p=0) + blur(pad (1, 1)): r_in-packed
+    [N, G, G, r²ci] -> (2*r_in)-packed [N, G, G, (2r)²co] on the same grid
+    (i.e. H -> 2H at full resolution). Exact same math as the two-op pipeline."""
+    wp = pack_upsample_conv_kernel(w, r_in, blur_taps).astype(x.dtype)
+    return conv2d(x, wp, None, padding=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _skip_up_kernel_np(r_in: int, blur_taps: tuple, gain: float) -> np.ndarray:
+    """Static per-channel kernel for upfirdn2d(up=2, pad=(2, 1)) (the ToRGB
+    skip upsample, model.py:30-49): SK[sh, sw, P, Q] with taps j in [-1, 2],
+    D[alpha] = g1 * k1[alpha] per axis."""
+    k1 = np.asarray(blur_taps, np.float32)
+    k1 = k1 / k1.sum()
+    d = np.sqrt(gain) * k1  # per-axis taps, alpha = j + 1 in [0, 3]
+    m = _up2_scatter(r_in, -1, 2)
+    return np.einsum("swPQab,a,b->swPQ", m, d, d)
+
+
+def packed_skip_upsample(x: jax.Array, r_in: int,
+                         blur_taps=(1, 3, 3, 1)) -> jax.Array:
+    """ToRGB skip upsample (upsample_2d, factor 2) on the packed form:
+    [N, G, G, r²C] -> [N, G, G, (2r)²C], per-channel FIR."""
+    n, g1, g2, cc = x.shape
+    c = cc // (r_in * r_in)
+    sk = jnp.asarray(_skip_up_kernel_np(r_in, tuple(blur_taps), 4.0),
+                     jnp.float32)
+    wp = jnp.einsum("swPQ,cd->swPcQd", sk, jnp.eye(c, dtype=jnp.float32))
+    wp = wp.reshape(3, 3, r_in * r_in * c, (2 * r_in) ** 2 * c)
+    return conv2d(x, wp.astype(x.dtype), None, padding=1)
+
+
+def pack_conv1x1_kernel(w: jax.Array, r: int) -> jax.Array:
+    """1x1 conv on the packed grid WITHOUT the 3x3 window of
+    pack_conv3x3_kernel (9x fewer executed FLOPs): block-diagonal
+    [1, 1, r²ci, r²co]."""
+    _, _, ci, co = w.shape
+    eye = jnp.eye(r * r, dtype=jnp.float32)
+    wp = jnp.einsum("PQ,io->PiQo", eye, w[0, 0].astype(jnp.float32))
+    return wp.reshape(1, 1, r * r * ci, r * r * co)
+
+
+def packed_channel_scale(x: jax.Array, s: jax.Array, r: int) -> jax.Array:
+    """x [N, G, G, r²C] * s [N, C] broadcast per original channel."""
+    n, g1, g2, cc = x.shape
+    c = cc // (r * r)
+    y = x.reshape(n, g1, g2, r * r, c) * s[:, None, None, None, :].astype(x.dtype)
+    return y.reshape(n, g1, g2, cc)

@@ -57,6 +57,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
     q = q_ref[0]  # [tq, d]
     k = k_ref[0]  # [tk, d]
+    # NOTE (measured, round 3): bf16 scores end-to-end are NOT a win here —
+    # Mosaic requires a 32-bit matmul accumulator, so bf16 scores can only
+    # be a post-dot convert, which merely moves the existing f32->bf16
+    # probability convert earlier (A/B'd 5.02 vs 4.91 ms at the flagship
+    # 16k-token shape) while costing ~0.14% output error. f32 it stays.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [tq, tk]
@@ -125,6 +130,8 @@ def _forward(q, values, tq, tk, with_lse=False):
             pltpu.VMEM((tq, 1), jnp.float32),
             pltpu.VMEM((tq, c_total), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(qp, kp, vp)
     out = out[:, :l, :]
@@ -257,6 +264,8 @@ def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, nq * tq, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, dsump)[:, :l]
 
@@ -291,6 +300,8 @@ def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
             pltpu.VMEM((tk, d), jnp.float32),
             pltpu.VMEM((tk, c_total), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, dsump)
     dk = dk[:, :l]

@@ -232,3 +232,88 @@ def test_stacked_style_heads_match_unrolled_blocks():
         refj = blk32.apply({"params": v1["params"][f"styles_{j}"]}, x32)
         np.testing.assert_allclose(np.asarray(out1[:, g]), np.asarray(refj),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_packed_synthesis_matches_unpacked(monkeypatch):
+    """The space-to-depth packed execution of the high-res synthesis tail
+    (Generator loop + ops/packed.py stencils: fused convT+blur upsample,
+    packed 3x3/1x1 modulated convs, packed skip upsample, per-slot noise)
+    must be numerically identical to the unpacked pipeline — with fixed
+    noise buffers AND with randomize_noise drawing from the same rng
+    stream. Forced onto the packed path via FMI_PACKED_SYNTH_MAX_CH."""
+    import flax.traverse_util as tu
+
+    gen = Generator(size=64, style_dim=64, n_mlp=2, channel_multiplier=1)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    vs = gen.init({"params": KEY, "noise": KEY}, [z], randomize_noise=False)
+    # nonzero noise weights so the per-slot noise path actually matters
+    flat = tu.flatten_dict(vs)
+    for k in list(flat):
+        if k[-2:] == ("noise", "weight"):
+            flat[k] = jnp.full_like(flat[k], 0.7)
+    vs = tu.unflatten_dict(flat)
+
+    def run(randomize):
+        rngs = {"noise": jax.random.PRNGKey(7)} if randomize else None
+        return gen.apply(vs, [z], randomize_noise=randomize, rngs=rngs)[0]
+
+    monkeypatch.setenv("FMI_PACKED_SYNTH", "0")
+    ref_fixed, ref_rand = run(False), run(True)
+    monkeypatch.setenv("FMI_PACKED_SYNTH", "1")
+    monkeypatch.setenv("FMI_PACKED_SYNTH_MAX_CH", "10000")  # every stage
+    got_fixed, got_rand = run(False), run(True)
+
+    np.testing.assert_allclose(np.asarray(got_fixed), np.asarray(ref_fixed),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_rand), np.asarray(ref_rand),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_synthesis_gradients_match(monkeypatch):
+    """Same check under grad (train_decoder finetunes through the packed
+    kernels): d(sum image)/d(params) must agree packed vs unpacked."""
+    gen = Generator(size=32, style_dim=32, n_mlp=1, channel_multiplier=1)
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    vs = gen.init({"params": KEY, "noise": KEY}, [z], randomize_noise=False)
+
+    def loss(params):
+        img, _ = gen.apply({**vs, "params": params}, [z],
+                           randomize_noise=False)
+        return jnp.sum(img ** 2)
+
+    monkeypatch.setenv("FMI_PACKED_SYNTH", "0")
+    g_ref = jax.grad(loss)(vs["params"])
+    monkeypatch.setenv("FMI_PACKED_SYNTH", "1")
+    monkeypatch.setenv("FMI_PACKED_SYNTH_MAX_CH", "10000")
+    g_got = jax.grad(loss)(vs["params"])
+
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    for a, b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_depth_to_space_conv_path_matches_reshape():
+    """depth_to_space's small-channel dilated-conv path (c <= 8) must equal
+    the reshape/transpose form, including under grad."""
+    from face_mask_inpaint_tpu.ops.packed import depth_to_space, space_to_depth
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 12), jnp.float32)  # c = 3, r = 2
+
+    def ref(y):  # force the reshape path by splitting channels
+        n, hp, wp, cc = y.shape
+        y6 = y.reshape(n, hp, wp, 2, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+        return y6.reshape(n, hp * 2, wp * 2, 3)
+
+    np.testing.assert_allclose(np.asarray(depth_to_space(x, 2)),
+                               np.asarray(ref(x)), rtol=1e-6, atol=1e-6)
+    g1 = jax.grad(lambda y: jnp.sum(jnp.sin(depth_to_space(y, 2))))(x)
+    g2 = jax.grad(lambda y: jnp.sum(jnp.sin(ref(y))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
+    # roundtrip
+    np.testing.assert_allclose(
+        np.asarray(space_to_depth(depth_to_space(x, 2), 2)), np.asarray(x),
+        rtol=0, atol=0)
