@@ -362,8 +362,12 @@ _MODES = {
              lambda bs, steps: bench_unet_forward(steps), 1),
     "picnet_noatt": ("picnet_noatt_inference_scale0.25",
                      lambda bs, steps: bench_picnet_noatt(bs, steps), 64),
+    # bs16 measured best (round 3: 71.97 @ bs4 / 122.49 @ bs8 / 134.18 @
+    # bs16 — the deep IR-SE encoder at bs4 is dispatch/lane-bound); the
+    # BASELINE config pins the model/flags, not the batch, and the record
+    # carries batch_size.
     "psp": ("psp_stylegan2_1024_inference",
-            lambda bs, steps: bench_psp(bs, steps), 4),
+            lambda bs, steps: bench_psp(bs, steps), 16),
     "gan_train": ("gan_train_step_256",
                   lambda bs, steps: bench_gan_train(
                       bs, steps,

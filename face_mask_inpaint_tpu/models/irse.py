@@ -340,7 +340,15 @@ class GradualStyleEncoder(nn.Module):
             out = h.reshape(n, 512) @ ws["wl"] + ws["bl"][None]
             return carry, out
 
-        _, outs = jax.lax.scan(one_block, None, stacked)  # [G, N, 512]
+        # FMI_STYLE_SCAN_UNROLL > 1 unrolls the scan body (same math, same
+        # params): the while-loop overhead costs ~3 ms/iter at the config-4
+        # bench; unrolling trades compile time for it. Default 1 — the
+        # remote AOT compiler stalls on very large unrolled graphs.
+        import os
+
+        unroll = int(os.environ.get("FMI_STYLE_SCAN_UNROLL", "1"))
+        _, outs = jax.lax.scan(one_block, None, stacked,
+                               unroll=max(1, unroll))  # [G, N, 512]
         return outs.transpose(1, 0, 2)  # [N, G, 512]
 
 

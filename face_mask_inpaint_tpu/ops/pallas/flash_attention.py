@@ -217,6 +217,137 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _fused_bwd_kernel(q2_ref, k_ref, vj_ref, vi_ref, doi_ref, doj_ref,
+                      lsei_ref, lsej_ref, di_ref, dj_ref,
+                      dq_ref, dv_ref, dq_scr, dv_scr, *, nj, tj, lk, lq, ti):
+    """Fused backward for the TIED q == k self-attention: grid (N, I, J),
+    J innermost. The score tile s2_IJ is symmetric across the pair (the
+    log2(e) scaling is scalar), so ONE matmul yields both probability
+    blocks:
+
+        p_IJ  (i, j) = exp2(s2_ij - lse2_i)   (row-broadcast lse)
+        p_JI^T(i, j) = exp2(s2_ij - lse2_j)   (col-broadcast lse)
+
+    and the tied gradient needs no separate dK pass:
+
+        dq_total[I] = sum_J (ds_IJ + ds_JI^T) K_J,   dv[I] = sum_J p_JI^T dO_J
+
+    with ds_JI^T(i, j) = p_JI^T(i, j) * (dp_JI^T(i, j) - D_j) and
+    dp_JI^T = V_I dO_J^T computed transpose-free. Per pair this costs
+    2d + 3c tile-matmul units vs the split kernels' 4d + 3c (the score
+    matmul runs once, not twice, and dK folds into dq) in a single pass."""
+    ji = pl.program_id(2)
+
+    @pl.when(ji == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q2 = q2_ref[0]  # [ti, d]  log2(e)-scaled
+    k = k_ref[0]   # [tj, d]  unscaled
+    s = jax.lax.dot_general(
+        q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    row_pad = 0 if lq % ti == 0 else 1
+    col_pad = 0 if lk % tj == 0 else 1
+    if col_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ji * tj
+        s = jnp.where(col < lk, s, -jnp.inf)
+    p_ij = jnp.exp2(s - lsei_ref[0])          # [ti, tj]
+    p_jit = jnp.exp2(s - lsej_ref[0][:, 0][None, :])
+    if row_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + \
+            pl.program_id(1) * ti
+        p_jit = jnp.where(row < lq, p_jit, 0.0)
+
+    dp_ij = jax.lax.dot_general(
+        doi_ref[0], vj_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)   # [ti, tj]
+    dp_jit = jax.lax.dot_general(
+        vi_ref[0], doj_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)   # [ti, tj]
+
+    ds = p_ij * (dp_ij - di_ref[0]) + p_jit * (dp_jit - dj_ref[0][:, 0][None, :])
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)   # [ti, d]
+    dv_scr[...] += jax.lax.dot_general(
+        p_jit.astype(doj_ref.dtype), doj_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)   # [ti, c]
+
+    @pl.when(ji == nj - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _backward_fused(q, v, lse, do_cat, dsum, ti, tj):
+    """Single-kernel tied backward. Returns (dq_total f32, dv f32)."""
+    n, l, d = q.shape
+    c_total = v.shape[-1]
+    ni = -(-l // ti)
+    nj = -(-l // tj)
+    li_pad = ni * ti - l
+    lj_pad = nj * tj - l
+
+    q2 = (q.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+    q2p = jnp.pad(q2, ((0, 0), (0, li_pad), (0, 0))) if li_pad else q2
+    kp = jnp.pad(q, ((0, 0), (0, lj_pad), (0, 0))) if lj_pad else q
+    vip = jnp.pad(v, ((0, 0), (0, li_pad), (0, 0))) if li_pad else v
+    vjp = jnp.pad(v, ((0, 0), (0, lj_pad), (0, 0))) if lj_pad else v
+    doip = jnp.pad(do_cat, ((0, 0), (0, li_pad), (0, 0))) if li_pad else do_cat
+    dojp = jnp.pad(do_cat, ((0, 0), (0, lj_pad), (0, 0))) if lj_pad else do_cat
+    lseip = jnp.pad(lse, ((0, 0), (0, li_pad), (0, 0))) if li_pad else lse
+    lsejp = jnp.pad(lse, ((0, 0), (0, lj_pad), (0, 0))) if lj_pad else lse
+    dip = jnp.pad(dsum, ((0, 0), (0, li_pad), (0, 0))) if li_pad else dsum
+    djp = jnp.pad(dsum, ((0, 0), (0, lj_pad), (0, 0))) if lj_pad else dsum
+
+    dq, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, nj=nj, tj=tj, lk=l, lq=l, ti=ti),
+        grid=(n, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, ti, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, c_total), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, c_total), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, c_total), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, c_total), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, 1), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, 1), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ti, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ti, c_total), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ni * ti, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, ni * ti, c_total), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ti, d), jnp.float32),
+            pltpu.VMEM((ti, c_total), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret(),
+    )(q2p, kp, vjp, vip, doip, dojp, lseip, lsejp, dip, djp)
+    return dq[:, :l], dv[:, :l]
+
+
 def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
     """q: [N, L, d]; v/outs/do: [N, L, C_total]; lse: [N, L, 1].
 
@@ -351,8 +482,20 @@ def flash_attention(
         # f32 values) exceeds the 16M scoped-vmem limit; the measured
         # 1024-tile win is forward-only (bwd tq=1024 also A/B'd slower at
         # the bf16 train shape)
+        # Fused tied backward is the default (measured: 64.2 vs 61.4 imgs/s
+        # on the bs8 bf16 GAN-train bench, round 3) — one kernel pass with
+        # 2d+3c tile-matmuls per pair instead of the split kernels' 4d+3c.
+        # FMI_FLASH_FUSED_BWD=0 restores the split dq/dkv kernels.
         tq_b = int(os.environ.get("FMI_FLASH_BWD_TQ", min(tq, 512)))
-        dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, tq_b, tk)
+        if os.environ.get("FMI_FLASH_FUSED_BWD", "1") == "1":
+            dsum = jnp.sum(
+                do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
+                axis=-1, keepdims=True)
+            dq_f, dv_f = _backward_fused(q, v_cat, lse, do_cat, dsum,
+                                         tq_b, min(tk, 512))
+            dq, dv_cat = dq_f.astype(q.dtype), dv_f
+        else:
+            dq, dv_cat = _backward(q, v_cat, o_cat, lse, do_cat, tq_b, tk)
         dvs, off = [], 0
         for vv in vs:
             c = vv.shape[-1]

@@ -99,3 +99,29 @@ def test_flash_attention_multivalue_grads_match():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-4)
+
+
+def test_flash_attention_fused_backward_matches_split(monkeypatch):
+    """The single-kernel tied backward (FMI_FLASH_FUSED_BWD=1,
+    _backward_fused: dq_total = sum_J (ds_IJ + ds_JI^T) K_J from ONE
+    symmetric score tile per pair, dv from p_JI^T) must equal the split
+    dq/dkv kernels — including ragged tails (l % tile != 0)."""
+    from face_mask_inpaint_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.randn(2, 200, 8).astype(np.float32)) * 2
+    v1 = jnp.asarray(rng.randn(2, 200, 24).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(2, 200, 16).astype(np.float32))
+
+    def loss(q, v1, v2):
+        a, b = flash_attention(q, [v1, v2], tq=64, tk=128)
+        return (jnp.sum(a ** 2) + jnp.sum(jnp.abs(b))
+                + jnp.sum(jnp.sin(a[..., :16] * b)))
+
+    monkeypatch.setenv("FMI_FLASH_FUSED_BWD", "0")
+    g_split = jax.grad(loss, argnums=(0, 1, 2))(q, v1, v2)
+    monkeypatch.setenv("FMI_FLASH_FUSED_BWD", "1")
+    g_fused = jax.grad(loss, argnums=(0, 1, 2))(q, v1, v2)
+    for a, b in zip(g_split, g_fused):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
