@@ -413,6 +413,11 @@ def main():
         if mode == "gan_train":
             rec["precision"] = os.environ.get("BENCH_GAN_DTYPE", "bfloat16") \
                 + "-mixed (f32 params/opt/stats/reductions)"
+        if mode == "psp":
+            rec["method"] = (
+                "device-occupancy (images / summed device op time from a "
+                "profiled window); wall-clock through the remote relay "
+                "cannot be fenced for the multi-program chain")
         print(json.dumps(_with_mfu(rec)))
         return
 

@@ -348,6 +348,299 @@ def _backward_fused(q, v, lse, do_cat, dsum, ti, tj):
     return dq[:, :l], dv[:, :l]
 
 
+def _sym_fwd_kernel(q2i_ref, kj_ref, vi_ref, vj_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr, *, ni, njj, t, lq):
+    """Triangular forward for the TIED q == k map: grid (N, I, JJ) with the
+    round-robin pairing J = (I + JJ) % ni, so each unordered tile pair is
+    visited ONCE and the symmetric score tile S_IJ (the log2(e) scale is
+    scalar, S_IJ = S_JI^T) serves both orders:
+
+        rows I:  online-softmax update from S_IJ against keys J
+        rows J:  online-softmax update from S_IJ^T against keys I
+                 (column max/sum — transpose-free)
+
+    vs the rectangular kernel this halves the score matmuls: d + 2c
+    tile-matmul units per unordered pair instead of 2(d + c). The price is
+    full-length accumulators (acc/m/l for ALL rows) resident in VMEM
+    scratch across the sweep — fine for the model's 16k-token maps
+    (~L*(4c+8) bytes; the wrapper guards the fit)."""
+    i = pl.program_id(1)
+    jj = pl.program_id(2)
+    j = jax.lax.rem(i + jj, ni)
+
+    @pl.when((i == 0) & (jj == 0))
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    pad = ni * t - lq
+
+    def _work():
+        s = jax.lax.dot_general(
+            q2i_ref[0], kj_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [t, t]
+
+        # --- rows I: keys are the J columns (mask padded keys) ---
+        s_cm = s
+        if pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * t
+            s_cm = jnp.where(col < lq, s, -jnp.inf)
+        ri = pl.ds(i * t, t)
+        m_old = m_scr[ri, :]
+        m_new = jnp.maximum(m_old, jnp.max(s_cm, axis=-1, keepdims=True))
+        alpha = jnp.exp2(m_old - m_new)
+        p = jnp.exp2(s_cm - m_new)
+        l_scr[ri, :] = l_scr[ri, :] * alpha + jnp.sum(p, axis=-1,
+                                                      keepdims=True)
+        acc_scr[ri, :] = acc_scr[ri, :] * alpha + jax.lax.dot_general(
+            p.astype(vj_ref.dtype), vj_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[ri, :] = m_new
+
+        # --- rows J (mirror): queries are the columns of S, keys the I
+        # rows; column max/sum stand in for the transpose ---
+        @pl.when(jj != 0)
+        def _mirror():
+            s_rm = s
+            if pad:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * t
+                s_rm = jnp.where(row < lq, s, -jnp.inf)
+            rj = pl.ds(j * t, t)
+            mj_old = m_scr[rj, :]
+            mj_new = jnp.maximum(mj_old,
+                                 jnp.max(s_rm, axis=0)[:, None])
+            alpha_j = jnp.exp2(mj_old - mj_new)
+            pj = jnp.exp2(s_rm - mj_new[:, 0][None, :])  # [t(keys), t(qry)]
+            if pad:
+                # padded mirror queries (j*t+b >= lq): zero them so the
+                # l/acc updates stay finite (their rows are sliced off)
+                colq = jax.lax.broadcasted_iota(jnp.int32, pj.shape, 1) + j * t
+                pj = jnp.where(colq < lq, pj, 0.0)
+            l_scr[rj, :] = l_scr[rj, :] * alpha_j + jnp.sum(
+                pj, axis=0)[:, None]
+            acc_scr[rj, :] = acc_scr[rj, :] * alpha_j + jax.lax.dot_general(
+                pj.astype(vi_ref.dtype), vi_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[rj, :] = mj_new
+
+    if ni % 2 == 0:
+        # the last round-robin column pairs {i, i+ni/2} twice; keep i < ni/2
+        pl.when((jj != njj - 1) | (i < ni // 2))(_work)
+    else:
+        _work()
+
+    @pl.when((i == ni - 1) & (jj == njj - 1))
+    def _finish():
+        # padded rows have l > 0 (their zero-q scores are finite), so the
+        # divide is safe; they are sliced off by the caller
+        o_ref[0] = (acc_scr[...] / l_scr[...]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log2(l_scr[...])
+
+
+def _sym_forward(q, values, t, with_lse=False):
+    """Triangular-sweep forward. Same contract as _forward (tq == tk == t)."""
+    n, l, d = q.shape
+    v = jnp.concatenate(values, axis=-1) if len(values) > 1 else values[0]
+    c_total = v.shape[-1]
+    ni = -(-l // t)
+    njj = ni // 2 + 1 if ni % 2 == 0 else (ni + 1) // 2
+    lpad = ni * t - l
+
+    q2 = (q.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+    qp = jnp.pad(q2, ((0, 0), (0, lpad), (0, 0))) if lpad else q2
+    kp = jnp.pad(q, ((0, 0), (0, lpad), (0, 0))) if lpad else q
+    vp = jnp.pad(v, ((0, 0), (0, lpad), (0, 0))) if lpad else v
+
+    def _rr(b, i, jj):
+        return (b, jax.lax.rem(i + jj, ni), 0)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_sym_fwd_kernel, ni=ni, njj=njj, t=t, lq=l),
+        grid=(n, ni, njj),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda b, i, jj: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), _rr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c_total), lambda b, i, jj: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c_total), _rr, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ni * t, c_total), lambda b, i, jj: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni * t, 1), lambda b, i, jj: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ni * t, c_total), v.dtype),
+            jax.ShapeDtypeStruct((n, ni * t, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ni * t, 1), jnp.float32),
+            pltpu.VMEM((ni * t, 1), jnp.float32),
+            pltpu.VMEM((ni * t, c_total), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qp, kp, vp, vp)
+    out = out[:, :l, :]
+    if len(values) == 1:
+        outs = [out]
+    else:
+        outs, off = [], 0
+        for vv in values:
+            outs.append(out[..., off : off + vv.shape[-1]])
+            off += vv.shape[-1]
+    if with_lse:
+        return outs, lse[:, :l, :]
+    return outs
+
+
+def _sym_bwd_kernel(q2i_ref, kj_ref, vi_ref, vj_ref, doi_ref, doj_ref,
+                    lsei_ref, lsej_ref, di_ref, dj_ref, dq_ref, dv_ref,
+                    *, ni, njj, t, lq):
+    """Triangular tied backward: the fused-kernel recurrence (see
+    _fused_bwd_kernel) swept over unordered pairs only, accumulating BOTH
+    sides of each pair from the one score tile:
+
+        dq[I] += (ds_IJ + ds_JI^T) K_J          dv[I] += p_JI^T dO_J
+        dq[J] += (ds_IJ + ds_JI^T)^T K_I        dv[J] += p_IJ^T dO_I
+
+    3d + 4c tile-matmul units per unordered pair vs the rectangular fused
+    kernel's 4d + 6c (and the split kernels' 8d + 6c). Accumulates straight
+    into the full-length f32 out refs (VMEM-resident per batch item)."""
+    i = pl.program_id(1)
+    jj = pl.program_id(2)
+    j = jax.lax.rem(i + jj, ni)
+
+    @pl.when((i == 0) & (jj == 0))
+    def _init():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    pad = ni * t - lq
+
+    def _work():
+        s = jax.lax.dot_general(
+            q2i_ref[0], kj_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [t, t]
+        s_cm = s
+        s_rm = s
+        if pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * t
+            s_cm = jnp.where(col < lq, s, -jnp.inf)
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * t
+            s_rm = jnp.where(row < lq, s, -jnp.inf)
+        p_ij = jnp.exp2(s_cm - lsei_ref[0])                 # [t, t]
+        p_jit = jnp.exp2(s_rm - lsej_ref[0][:, 0][None, :])  # p_JI^T
+
+        dp_ij = jax.lax.dot_general(
+            doi_ref[0], vj_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp_jit = jax.lax.dot_general(
+            vi_ref[0], doj_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # padded-query columns of p_jit are garbage (lse padded with 0) but
+        # multiply (dp_jit - dj) whose padded entries are exactly 0 (zero
+        # dO rows, zero-padded dsum) — so ds stays clean, like the
+        # rectangular fused kernel
+        ds = (p_ij * (dp_ij - di_ref[0])
+              + p_jit * (dp_jit - dj_ref[0][:, 0][None, :]))
+
+        ri = pl.ds(i * t, t)
+        dq_ref[0, ri, :] += jax.lax.dot_general(
+            ds.astype(kj_ref.dtype), kj_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv_ref[0, ri, :] += jax.lax.dot_general(
+            p_jit.astype(doj_ref.dtype), doj_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(jj != 0)
+        def _mirror():
+            rj = pl.ds(j * t, t)
+            # K_I is the log2(e)-scaled block; undo the scale on the way out
+            dq_ref[0, rj, :] += jax.lax.dot_general(
+                ds.astype(q2i_ref.dtype), q2i_ref[0],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * (1.0 / _LOG2E)
+            dv_ref[0, rj, :] += jax.lax.dot_general(
+                p_ij.astype(doi_ref.dtype), doi_ref[0],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    if ni % 2 == 0:
+        pl.when((jj != njj - 1) | (i < ni // 2))(_work)
+    else:
+        _work()
+
+
+def _backward_sym(q, v, lse, do_cat, dsum, t):
+    """Triangular single-kernel tied backward. Returns (dq_total, dv) f32."""
+    n, l, d = q.shape
+    c_total = v.shape[-1]
+    ni = -(-l // t)
+    njj = ni // 2 + 1 if ni % 2 == 0 else (ni + 1) // 2
+    lpad = ni * t - l
+
+    q2 = (q.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+    pads = ((0, 0), (0, lpad), (0, 0))
+    q2p = jnp.pad(q2, pads) if lpad else q2
+    kp = jnp.pad(q, pads) if lpad else q
+    vp = jnp.pad(v, pads) if lpad else v
+    dop = jnp.pad(do_cat, pads) if lpad else do_cat
+    lsep = jnp.pad(lse, pads) if lpad else lse
+    dp = jnp.pad(dsum, pads) if lpad else dsum
+
+    def _bi(b, i, jj):
+        return (b, i, 0)
+
+    def _rr(b, i, jj):
+        return (b, jax.lax.rem(i + jj, ni), 0)
+
+    dq, dv = pl.pallas_call(
+        functools.partial(_sym_bwd_kernel, ni=ni, njj=njj, t=t, lq=l),
+        grid=(n, ni, njj),
+        in_specs=[
+            pl.BlockSpec((1, t, d), _bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), _rr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c_total), _bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c_total), _rr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c_total), _bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, c_total), _rr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), _bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), _rr, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), _bi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), _rr, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ni * t, d), lambda b, i, jj: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ni * t, c_total), lambda b, i, jj: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ni * t, d), jnp.float32),
+            jax.ShapeDtypeStruct((n, ni * t, c_total), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(q2p, kp, vp, vp, dop, dop, lsep, lsep, dp, dp)
+    return dq[:, :l], dv[:, :l]
+
+
+def _sym_fits(l, d, c_total, t):
+    """The triangular kernels keep full-length accumulators in VMEM; gate on
+    a conservative footprint estimate (bytes) so oversized maps fall back."""
+    ni = -(-l // t)
+    lp = ni * t
+    fwd = lp * (4 * c_total + 12) + lp * c_total * 2  # acc+m+l+lse + out blk
+    bwd = lp * 4 * (d + c_total)                      # dq + dv out blocks
+    return max(fwd, bwd) < 80 * 1024 * 1024
+
+
 def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
     """q: [N, L, d]; v/outs/do: [N, L, C_total]; lse: [N, L, 1].
 
@@ -463,12 +756,26 @@ def flash_attention(
         tq = int(os.environ.get(
             "FMI_FLASH_TQ", "512" if q.dtype == jnp.float32 else "1024"))
 
+    # FMI_FLASH_SYM=1 switches to the triangular-sweep kernels (score tile
+    # computed once per unordered pair; see _sym_fwd_kernel/_sym_bwd_kernel).
+    # Default off until the on-chip A/B lands; falls back automatically when
+    # the full-length accumulators would not fit VMEM.
+    c_total = sum(v.shape[-1] for v in values)
+    t_sym = int(os.environ.get("FMI_FLASH_SYM_T", "512"))
+    use_sym = (os.environ.get("FMI_FLASH_SYM", "0") == "1"
+               and _sym_fits(q.shape[1], q.shape[-1], c_total, t_sym))
+
     @jax.custom_vjp
     def _op(q, vs):
+        if use_sym:
+            return tuple(_sym_forward(q, list(vs), t_sym))
         return tuple(_forward(q, list(vs), tq, tk))
 
     def _fwd(q, vs):
-        outs, lse = _forward(q, list(vs), tq, tk, with_lse=True)
+        if use_sym:
+            outs, lse = _sym_forward(q, list(vs), t_sym, with_lse=True)
+        else:
+            outs, lse = _forward(q, list(vs), tq, tk, with_lse=True)
         return tuple(outs), (q, vs, tuple(outs), lse)
 
     def _bwd(res, g):
@@ -487,7 +794,13 @@ def flash_attention(
         # 2d+3c tile-matmuls per pair instead of the split kernels' 4d+3c.
         # FMI_FLASH_FUSED_BWD=0 restores the split dq/dkv kernels.
         tq_b = int(os.environ.get("FMI_FLASH_BWD_TQ", min(tq, 512)))
-        if os.environ.get("FMI_FLASH_FUSED_BWD", "1") == "1":
+        if use_sym:
+            dsum = jnp.sum(
+                do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
+                axis=-1, keepdims=True)
+            dq_s, dv_s = _backward_sym(q, v_cat, lse, do_cat, dsum, t_sym)
+            dq, dv_cat = dq_s.astype(q.dtype), dv_s
+        elif os.environ.get("FMI_FLASH_FUSED_BWD", "1") == "1":
             dsum = jnp.sum(
                 do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
                 axis=-1, keepdims=True)

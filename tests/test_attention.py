@@ -1,6 +1,7 @@
 """Blockwise attention must match the materialized map exactly."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -125,3 +126,48 @@ def test_flash_attention_fused_backward_matches_split(monkeypatch):
     for a, b in zip(g_split, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("l,t", [
+    (200, 64),   # ni=4 even: exercises the round-robin dup guard + ragged
+    (320, 64),   # ni=5 odd: no dup column + exact tail
+    (256, 64),   # ni=4 even, no padding
+    (64, 64),    # ni=1: diagonal-only degenerate sweep
+])
+def test_flash_attention_sym_matches_rect(monkeypatch, l, t):
+    """FMI_FLASH_SYM=1 (triangular sweep: one score tile per unordered pair
+    feeding both orders via round-robin pairing J=(I+JJ)%ni) must match the
+    rectangular kernels in values AND grads, including ragged tails and the
+    even-ni duplicate-pair guard."""
+    from face_mask_inpaint_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(2, l, 8).astype(np.float32)) * 2
+    v1 = jnp.asarray(rng.randn(2, l, 24).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(2, l, 16).astype(np.float32))
+
+    def run(q, v1, v2):
+        return flash_attention(q, [v1, v2], tq=t, tk=t)
+
+    def loss(q, v1, v2):
+        a, b = run(q, v1, v2)
+        return (jnp.sum(a ** 2) + jnp.sum(jnp.abs(b))
+                + jnp.sum(jnp.sin(a[..., :16] * b)))
+
+    monkeypatch.setenv("FMI_FLASH_SYM", "0")
+    o_rect = run(q, v1, v2)
+    g_rect = jax.grad(loss, argnums=(0, 1, 2))(q, v1, v2)
+    monkeypatch.setenv("FMI_FLASH_SYM", "1")
+    monkeypatch.setenv("FMI_FLASH_SYM_T", str(t))
+    o_sym = run(q, v1, v2)
+    g_sym = jax.grad(loss, argnums=(0, 1, 2))(q, v1, v2)
+    for a, b in zip(o_rect, o_sym):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+    # grads accumulate tile contributions in a different ORDER (triangular
+    # vs row-major sweep), so f32 rounding differs by up to ~4e-4 absolute
+    # at these shapes (exactly 0 for the single-tile case) — not a formula
+    # difference
+    for a, b in zip(g_rect, g_sym):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-4)
