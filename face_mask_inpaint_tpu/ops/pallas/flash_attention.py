@@ -758,12 +758,17 @@ def flash_attention(
 
     # FMI_FLASH_SYM=1 switches to the triangular-sweep kernels (score tile
     # computed once per unordered pair; see _sym_fwd_kernel/_sym_bwd_kernel).
-    # Default off until the on-chip A/B lands; falls back automatically when
-    # the full-length accumulators would not fit VMEM.
+    # FMI_FLASH_SYM_BWD=1 enables just the backward (the model's d = C/4 is
+    # tiny, so the forward's saving is ~d/(2(d+c)) ≈ 5% while the backward
+    # drops two of six c-unit matmuls AND halves the exp2 tiles — the
+    # asymmetric win). Defaults off until the on-chip A/B lands; falls back
+    # automatically when the full-length accumulators would not fit VMEM.
     c_total = sum(v.shape[-1] for v in values)
     t_sym = int(os.environ.get("FMI_FLASH_SYM_T", "512"))
-    use_sym = (os.environ.get("FMI_FLASH_SYM", "0") == "1"
-               and _sym_fits(q.shape[1], q.shape[-1], c_total, t_sym))
+    fits = _sym_fits(q.shape[1], q.shape[-1], c_total, t_sym)
+    sym_flag = os.environ.get("FMI_FLASH_SYM", "0") == "1"
+    use_sym = sym_flag and fits
+    use_sym_bwd = (sym_flag or os.environ.get("FMI_FLASH_SYM_BWD", "0") == "1") and fits
 
     @jax.custom_vjp
     def _op(q, vs):
@@ -794,7 +799,7 @@ def flash_attention(
         # 2d+3c tile-matmuls per pair instead of the split kernels' 4d+3c.
         # FMI_FLASH_FUSED_BWD=0 restores the split dq/dkv kernels.
         tq_b = int(os.environ.get("FMI_FLASH_BWD_TQ", min(tq, 512)))
-        if use_sym:
+        if use_sym_bwd:
             dsum = jnp.sum(
                 do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
                 axis=-1, keepdims=True)

@@ -171,3 +171,29 @@ def test_flash_attention_sym_matches_rect(monkeypatch, l, t):
     for a, b in zip(g_rect, g_sym):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_flash_attention_sym_bwd_only_matches(monkeypatch):
+    """FMI_FLASH_SYM_BWD=1 (triangular backward under the rectangular
+    forward — the production A/B configuration, since d = C/4 makes the
+    forward saving marginal) must match the rectangular grads."""
+    from face_mask_inpaint_tpu.ops.pallas.flash_attention import flash_attention
+
+    rng = np.random.RandomState(3)
+    l, t = 200, 64
+    q = jnp.asarray(rng.randn(2, l, 8).astype(np.float32)) * 2
+    v1 = jnp.asarray(rng.randn(2, l, 24).astype(np.float32))
+
+    def loss(q, v1):
+        a, = flash_attention(q, [v1], tq=t, tk=t)
+        return jnp.sum(a ** 2) + jnp.sum(jnp.sin(a))
+
+    monkeypatch.setenv("FMI_FLASH_SYM", "0")
+    monkeypatch.setenv("FMI_FLASH_SYM_BWD", "0")
+    g_rect = jax.grad(loss, argnums=(0, 1))(q, v1)
+    monkeypatch.setenv("FMI_FLASH_SYM_BWD", "1")
+    monkeypatch.setenv("FMI_FLASH_SYM_T", str(t))
+    g_sym = jax.grad(loss, argnums=(0, 1))(q, v1)
+    for a, b in zip(g_rect, g_sym):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-4)
