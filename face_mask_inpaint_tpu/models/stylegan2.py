@@ -245,27 +245,33 @@ class ModulatedConv2d(nn.Module):
 class NoiseInjection(nn.Module):
     """model.py:282-294; per-layer scalar weight starting at zero.
 
-    packed_r > 1: ``image`` is the 5-D packed view [N, G, G, r², C]
-    (ops/packed.py slot-major layout); ``noise`` is the full-resolution
-    [*, G*r, G*r, 1] map (drawn here with the SAME rng stream as the
-    unpacked path when None) and is space-to-depth'd to broadcast per slot."""
+    packed_r > 1: ``image`` is the FLAT packed activation [N, G, G, r²C]
+    (ops/packed.py slot-major layout; packed_c gives C); ``noise`` is the
+    full-resolution [*, G*r, G*r, 1] map (drawn here with the SAME rng
+    stream as the unpacked path when None), space-to-depth'd and repeated
+    per original channel — bit-identical to broadcasting over a 5-D
+    [N, G, G, r², C] view, but the add stays in the conv's own flat layout
+    (the 5-D broadcast made XLA pick a transposed layout for the 1024²
+    stages and pay ~4.9 ms/iter of relayout copies per stage at the pSp
+    bs16 bench; trace: copy.117/112 + broadcast.150/159)."""
 
     @nn.compact
     def __call__(self, image: jax.Array, noise: Optional[jax.Array] = None,
-                 packed_r: int = 1) -> jax.Array:
+                 packed_r: int = 1, packed_c: int = 0) -> jax.Array:
         w = self.param("weight", nn.initializers.zeros, (1,))
         if packed_r > 1:
             from face_mask_inpaint_tpu.ops.packed import space_to_depth
 
-            n, g1, g2, _, _ = image.shape
+            n, g1, g2, _ = image.shape
             h, wd = g1 * packed_r, g2 * packed_r
             if noise is None:
                 noise = jax.random.normal(
                     self.make_rng("noise"), (n, h, wd, 1), image.dtype)
             noise_p = space_to_depth(
                 jnp.broadcast_to(noise, (n, h, wd, 1)).astype(image.dtype),
-                packed_r)[..., None]
-            return image + w.astype(image.dtype) * noise_p
+                packed_r)  # [n, g1, g2, r²]
+            noise_flat = jnp.repeat(noise_p, packed_c, axis=-1)
+            return image + w.astype(image.dtype) * noise_flat
         if noise is None:
             n, h, wd, _ = image.shape
             noise = jax.random.normal(self.make_rng("noise"), (n, h, wd, 1), image.dtype)
@@ -293,12 +299,12 @@ class StyledConv(nn.Module):
         r = pack_in * (2 if self.upsample and (packed_out or pack_in > 1) else 1)
         bias = self.param("activate_bias", nn.initializers.zeros, (self.out_channel,))
         if r > 1:
-            # packed noise + bias + leaky: per-slot noise broadcasts over the
-            # original channel axis of the slot-major packed layout
-            n, g1, g2, cc = out.shape
-            o5 = out.reshape(n, g1, g2, r * r, self.out_channel)
-            o5 = NoiseInjection(name="noise")(o5, noise, packed_r=r)
-            return fused_leaky_relu(o5, bias).reshape(n, g1, g2, cc)
+            # packed noise + bias + leaky, all in the conv's FLAT layout
+            # (per-slot noise repeated over the original channel axis,
+            # bias tiled per slot — see NoiseInjection's layout note)
+            out = NoiseInjection(name="noise")(
+                out, noise, packed_r=r, packed_c=self.out_channel)
+            return fused_leaky_relu(out, jnp.tile(bias, r * r))
         out = NoiseInjection(name="noise")(out, noise)
         return fused_leaky_relu(out, bias)
 
