@@ -17,7 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["conv2d", "conv_transpose2d", "pixel_shuffle", "depthwise_conv2d"]
+__all__ = ["conv2d", "conv2d_packed_dx", "conv_transpose2d", "pixel_shuffle",
+           "depthwise_conv2d"]
 
 _DIMS = ("NHWC", "HWIO", "NHWC")
 
@@ -144,3 +145,45 @@ def pixel_shuffle(x: jax.Array, upscale_factor: int) -> jax.Array:
     x = x.reshape(n, h, w, c_out, r, r)
     x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r1, w, r2, c_out
     return x.reshape(n, h * r, w * r, c_out)
+
+
+@jax.custom_vjp
+def conv2d_packed_dx(x: jax.Array, weight: jax.Array, bias: jax.Array) -> jax.Array:
+    """3x3 stride-1 'same' conv whose INPUT gradient executes space-to-depth
+    packed.
+
+    For a small-ci conv (VGG conv1_1: ci=3, co=64), the backward-to-input
+    conv dX = dY * rot180(W)^T has only ci=3 output lanes — measured 21.7
+    TF/s on the GAN-train trace (3 loss pairs x 1.42 ms/step). The packed
+    form computes dX at r=4 packing via the half-in stencil (input dY packed
+    at r/2=2, output 16*3=48 lanes) and unpacks — the same lane-filling
+    trade the packed decoder tail uses (reference ships this op as a CUDA
+    pair: modules/psp/stylegan2/op/; here it is a vjp-level execution
+    strategy with identical math)."""
+    return conv2d(x, weight, bias, padding=1)
+
+
+def _cpdx_fwd(x, weight, bias):
+    return conv2d(x, weight, bias, padding=1), (x, weight)
+
+
+def _cpdx_bwd(res, dy):
+    x, weight = res
+    _, vjp_w = jax.vjp(lambda w_: conv2d(x, w_, None, padding=1), weight)
+    (dw,) = vjp_w(dy)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2)).astype(dy.dtype)
+    w_g = jnp.flip(weight, (0, 1)).transpose(0, 1, 3, 2)  # [kh, kw, co, ci]
+    n, h, wd, _ = x.shape
+    if h % 4 == 0 and wd % 4 == 0:
+        from face_mask_inpaint_tpu.ops.packed import (
+            depth_to_space, packed_conv3x3_half_in, space_to_depth)
+
+        dyp = space_to_depth(dy, 2)
+        z = packed_conv3x3_half_in(dyp, w_g.astype(dy.dtype), None, 4)
+        dx = depth_to_space(z, 4).astype(x.dtype)
+    else:
+        dx = conv2d(dy, w_g.astype(dy.dtype), None, padding=1).astype(x.dtype)
+    return dx, dw, db
+
+
+conv2d_packed_dx.defvjp(_cpdx_fwd, _cpdx_bwd)
