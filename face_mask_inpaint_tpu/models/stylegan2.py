@@ -199,6 +199,15 @@ class ModulatedConv2d(nn.Module):
             xs = packed_channel_scale(x, s, pack_in)
         else:
             xs = x * s[:, None, None, :].astype(x.dtype)
+        # FMI_MODCONV_BARRIER=1 materializes the style-scaled input instead
+        # of letting XLA input-fuse the scale into the convolution — input
+        # fusion recomputes x*s once per kernel tap (9x for a 3x3; suspected
+        # cause of the 1024²-stage conv running 112 TF/s vs the unmodulated
+        # packed convs' 190). Identity numerically; pending on-chip A/B.
+        import os as _os
+
+        if _os.environ.get("FMI_MODCONV_BARRIER", "0") == "1":
+            xs = jax.lax.optimization_barrier(xs)
         wd = ws.astype(self.dtype)
         if self.upsample and (packed_out or pack_in > 1):
             assert k == 3, "packed upsample stencil is derived for k == 3"
