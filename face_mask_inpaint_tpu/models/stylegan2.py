@@ -219,9 +219,16 @@ class ModulatedConv2d(nn.Module):
         if pack_in > 1:
             assert not self.downsample
             if k == 1:
-                out = conv2d(
-                    xs, pack_conv1x1_kernel(wd, pack_in).astype(xs.dtype),
-                    None, padding=0)
+                # FMI_PACKED_1X1_GROUP=g fuses g adjacent w-cells into one
+                # matmul row (kron(I_g, W) kernel): the packed ToRGB's
+                # r²·3 = 12 output lanes measured 1.3-3.7 TF/s; grouping
+                # trades g× executed MACs for g× lane fill. Default 1
+                # (off) pending the on-chip A/B.
+                from face_mask_inpaint_tpu.ops.packed import conv1x1_w_grouped
+
+                g = int(_os.environ.get("FMI_PACKED_1X1_GROUP", "1"))
+                out = conv1x1_w_grouped(
+                    xs, pack_conv1x1_kernel(wd, pack_in).astype(xs.dtype), g)
             else:
                 out = packed_conv3x3(xs, wd, None, pack_in)
             if self.demodulate:

@@ -38,6 +38,7 @@ __all__ = [
     "packed_conv3x3",
     "packed_conv_transpose2x",
     "packed_conv3x3_half_in",
+    "conv1x1_w_grouped",
     "packed_instance_norm_act",
     "packed_block_mean",
     "packed_leaky_relu",
@@ -84,6 +85,22 @@ def _d2s_kernel_np(r: int, c: int) -> np.ndarray:
     return k
 
 
+@functools.lru_cache(maxsize=None)
+def _d2s_row_kernel_np(r: int, c: int) -> np.ndarray:
+    """Row-conv depth_to_space: dilate ONLY the h axis and leave the w axis
+    packed in the channel dim — out'[r*g+a, w, b*c+ch] = x[g, w, (a*r+b)*c
+    + ch] (kernel tap [r-1-a, 0], lhs_dilation (r, 1), pad ((r-1, r-1), 0)),
+    then out'.reshape(N, rH, rW, c) is a FREE reshape (minor order (w, b,
+    ch) == ((rw+b), ch)). vs the 2-D-dilated form this keeps r*c output
+    lanes instead of c and executes r× fewer MACs."""
+    k = np.zeros((r, 1, r * r * c, r * c), np.float32)
+    for a in range(r):
+        for b in range(r):
+            for ch in range(c):
+                k[r - 1 - a, 0, (a * r + b) * c + ch, b * c + ch] = 1.0
+    return k
+
+
 def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     """Inverse of space_to_depth.
 
@@ -94,9 +111,18 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     conv form, round 3). The conv's zero-inflated MACs are trivial at these
     widths; larger c keeps the reshape/transpose (the conv form's MACs scale
     with c² and would hit the MXU for real)."""
+    import os
+
     n, hp, wp, cc = x.shape
     c = cc // (r * r)
     if c <= 8:
+        if os.environ.get("FMI_D2S_ROWCONV", "0") == "1":
+            k = jnp.asarray(_d2s_row_kernel_np(r, c), x.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1),
+                padding=((r - 1, r - 1), (0, 0)), lhs_dilation=(r, 1),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y.reshape(n, hp * r, wp * r, c)
         k = jnp.asarray(_d2s_kernel_np(r, c), x.dtype)
         return jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1),
@@ -422,6 +448,29 @@ def pack_conv1x1_kernel(w: jax.Array, r: int) -> jax.Array:
     eye = jnp.eye(r * r, dtype=jnp.float32)
     wp = jnp.einsum("PQ,io->PiQo", eye, w[0, 0].astype(jnp.float32))
     return wp.reshape(1, 1, r * r * ci, r * r * co)
+
+
+def conv1x1_w_grouped(x: jax.Array, wp: jax.Array, g: int) -> jax.Array:
+    """1x1 conv with g adjacent w-cells fused into one matmul row: x
+    [N, GH, GW, Ci] viewed as [N, GH, GW/g, g*Ci], kernel kron(I_g, wp) —
+    g× the executed MACs (block-diagonal zeros) for g× the output lanes.
+    Exact same dot products as conv2d(x, wp); both reshapes are free
+    (contiguous minor order). Built for the packed ToRGB 1x1 whose r²·3
+    output lanes run at ~4% MXU efficiency (pSp trace: to_rgbs_6/7 at
+    3.7 / 1.3 TF/s)."""
+    n, gh, gw, ci = x.shape
+    co = wp.shape[-1]
+    if g <= 1 or gw % g:
+        return jax.lax.conv_general_dilated(
+            x, wp.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    eye = jnp.eye(g, dtype=jnp.float32)
+    wg = jnp.einsum("qp,io->qipo", eye, wp[0, 0].astype(jnp.float32))
+    wg = wg.reshape(1, 1, g * ci, g * co).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x.reshape(n, gh, gw // g, g * ci), wg, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(n, gh, gw, co)
 
 
 def packed_channel_scale(x: jax.Array, s: jax.Array, r: int) -> jax.Array:

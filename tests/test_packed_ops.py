@@ -332,3 +332,67 @@ def test_resgenerator_pair_handoff_matches_dense(rs, monkeypatch):
     assert out_kern.shape == out_dense.shape
     np.testing.assert_allclose(np.asarray(out_kern), np.asarray(out_dense),
                                atol=3e-5)
+
+
+def test_d2s_rowconv_matches(monkeypatch):
+    """FMI_D2S_ROWCONV=1 (h-only dilation, w stays packed in lanes, free
+    final reshape) must equal the default depth_to_space for the c<=8 conv
+    path, for every r the models use."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.ops import packed as P
+
+    rng = np.random.RandomState(9)
+    for r, c, g in ((2, 3, 8), (4, 3, 8), (2, 1, 6)):
+        x = jnp.asarray(rng.randn(2, g, g, r * r * c).astype(np.float32))
+        monkeypatch.setenv("FMI_D2S_ROWCONV", "0")
+        ref = P.depth_to_space(x, r)
+        monkeypatch.setenv("FMI_D2S_ROWCONV", "1")
+        got = P.depth_to_space(x, r)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv1x1_w_grouped_matches():
+    """conv1x1_w_grouped (kron(I_g, W) over fused w-cells) must equal the
+    plain 1x1 conv exactly, incl. the gw % g fallback."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.ops.packed import conv1x1_w_grouped
+
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(2, 8, 12, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 16, 12).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    for g in (1, 2, 4, 5):  # 5 does not divide 12 -> fallback path
+        got = conv1x1_w_grouped(x, w, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-5)
+
+
+def test_packed_torgb_grouped_matches(monkeypatch):
+    """The grouped packed 1x1 inside ModulatedConv2d (FMI_PACKED_1X1_GROUP)
+    must not change ToRGB outputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.models.stylegan2 import ToRGB
+    from face_mask_inpaint_tpu.ops.packed import space_to_depth
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+    style = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+    xp = space_to_depth(x, 2)
+    m = ToRGB(upsample=False)
+    variables = m.init(jax.random.PRNGKey(0), xp, style, pack_in=2)
+    monkeypatch.setenv("FMI_PACKED_1X1_GROUP", "1")
+    ref = m.apply(variables, xp, style, pack_in=2)
+    monkeypatch.setenv("FMI_PACKED_1X1_GROUP", "4")
+    got = m.apply(variables, xp, style, pack_in=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
