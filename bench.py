@@ -347,7 +347,7 @@ def bench_gan_train(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
         discriminator=d_state, g_opt_state=g_tx.init(g_state.params),
         d_opt_state=d_tx.init(d_state.params), rng=key)
     train_step = jax.jit(make_gan_train_step(
-        generator, discriminator, g_tx, d_tx, vgg_params))
+        generator, discriminator, g_tx, d_tx, vgg_params), donate_argnums=0)
 
     def step(st):
         new_state, _ = train_step(st, batch)

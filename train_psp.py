@@ -280,10 +280,11 @@ def train_net(model, train_loader, val_loader, mesh, args, batch_size):
 
     train_step = jax.jit(make_psp_train_step(
         model, tx, cfg, nets, use_ref=args.use_ref,
-        randomize_noise=args.randomize_noise))
+        randomize_noise=args.randomize_noise), donate_argnums=0)
     train_step_grads = jax.jit(make_psp_train_step(
         model, tx, cfg, nets, use_ref=args.use_ref,
-        randomize_noise=args.randomize_noise, return_grads=True))
+        randomize_noise=args.randomize_noise, return_grads=True),
+        donate_argnums=0)
     eval_step = jax.jit(make_psp_eval_step(model, cfg, nets, use_ref=args.use_ref))
 
     eval_options = set(args.eval_options)

@@ -278,9 +278,11 @@ def train_net(generator, discriminator, train_loader, val_loader, mesh, args,
     vgg_params = replicate_tree(vgg_params, mesh)
 
     train_step = jax.jit(make_gan_train_step(
-        generator, discriminator, g_tx, d_tx, vgg_params))
+        generator, discriminator, g_tx, d_tx, vgg_params),
+        donate_argnums=0)
     train_step_grads = jax.jit(make_gan_train_step(
-        generator, discriminator, g_tx, d_tx, vgg_params, return_grads=True))
+        generator, discriminator, g_tx, d_tx, vgg_params, return_grads=True),
+        donate_argnums=0)
     eval_step = jax.jit(make_gan_eval_step(generator, discriminator, vgg_params))
 
     eval_options = set(args.eval_options)
