@@ -61,7 +61,9 @@ class VGG16Features(nn.Module):
                     from face_mask_inpaint_tpu.ops.conv import conv2d_packed_dx
 
                     w, bias = conv(x, return_weights=True)
-                    x = conv2d_packed_dx(x, w, bias)
+                    # match Conv2d's own input cast so the flag changes
+                    # execution strategy only, never the compute dtype
+                    x = conv2d_packed_dx(x.astype(self.dtype), w, bias)
                 else:
                     x = conv(x)
                 x = jax.nn.relu(x)

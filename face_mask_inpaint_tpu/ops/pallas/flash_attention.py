@@ -631,14 +631,25 @@ def _backward_sym(q, v, lse, do_cat, dsum, t):
     return dq[:, :l], dv[:, :l]
 
 
-def _sym_fits(l, d, c_total, t):
-    """The triangular kernels keep full-length accumulators in VMEM; gate on
-    a conservative footprint estimate (bytes) so oversized maps fall back."""
-    ni = -(-l // t)
-    lp = ni * t
-    fwd = lp * (4 * c_total + 12) + lp * c_total * 2  # acc+m+l+lse + out blk
-    bwd = lp * 4 * (d + c_total)                      # dq + dv out blocks
-    return max(fwd, bwd) < 80 * 1024 * 1024
+def _sym_fwd_fits(l, d, c_total, t, v_esize):
+    """Forward triangular-kernel VMEM footprint gate (bytes): f32 acc + m/l
+    scratch + f32 lse block + the out block at the VALUE dtype's width +
+    double-buffered input tiles, against the 100MB kernel limit with
+    headroom for Mosaic overheads."""
+    lp = -(-l // t) * t
+    fwd = (lp * (4 * c_total + 12)          # acc (f32) + m + l + lse
+           + lp * c_total * v_esize         # out block
+           + 4 * t * (2 * d + 2 * c_total) * v_esize)  # streamed tiles
+    return fwd < 80 * 1024 * 1024
+
+
+def _sym_bwd_fits(l, d, c_total, t, esize):
+    """Backward triangular-kernel VMEM gate: f32 dq + dv out blocks (the
+    accumulators) + double-buffered input tiles."""
+    lp = -(-l // t) * t
+    bwd = (lp * 4 * (d + c_total)
+           + 4 * t * (2 * d + 4 * c_total + 12) * esize)
+    return bwd < 80 * 1024 * 1024
 
 
 def _backward(q, v, outs_cat, lse, do_cat, tq, tk):
@@ -765,10 +776,13 @@ def flash_attention(
     # automatically when the full-length accumulators would not fit VMEM.
     c_total = sum(v.shape[-1] for v in values)
     t_sym = int(os.environ.get("FMI_FLASH_SYM_T", "512"))
-    fits = _sym_fits(q.shape[1], q.shape[-1], c_total, t_sym)
+    esize = max(jnp.dtype(v.dtype).itemsize for v in values)
     sym_flag = os.environ.get("FMI_FLASH_SYM", "0") == "1"
-    use_sym = sym_flag and fits
-    use_sym_bwd = (sym_flag or os.environ.get("FMI_FLASH_SYM_BWD", "0") == "1") and fits
+    use_sym = sym_flag and _sym_fwd_fits(
+        q.shape[1], q.shape[-1], c_total, t_sym, esize)
+    use_sym_bwd = (
+        (sym_flag or os.environ.get("FMI_FLASH_SYM_BWD", "0") == "1")
+        and _sym_bwd_fits(q.shape[1], q.shape[-1], c_total, t_sym, esize))
 
     @jax.custom_vjp
     def _op(q, vs):
@@ -799,16 +813,15 @@ def flash_attention(
         # 2d+3c tile-matmuls per pair instead of the split kernels' 4d+3c.
         # FMI_FLASH_FUSED_BWD=0 restores the split dq/dkv kernels.
         tq_b = int(os.environ.get("FMI_FLASH_BWD_TQ", min(tq, 512)))
+        # D_i = sum_c dO_c O_c — shared by the sym and fused kernels (the
+        # split path recomputes its own inside _backward)
+        dsum = jnp.sum(
+            do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
+            axis=-1, keepdims=True)
         if use_sym_bwd:
-            dsum = jnp.sum(
-                do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
-                axis=-1, keepdims=True)
             dq_s, dv_s = _backward_sym(q, v_cat, lse, do_cat, dsum, t_sym)
             dq, dv_cat = dq_s.astype(q.dtype), dv_s
         elif os.environ.get("FMI_FLASH_FUSED_BWD", "1") == "1":
-            dsum = jnp.sum(
-                do_cat.astype(jnp.float32) * o_cat.astype(jnp.float32),
-                axis=-1, keepdims=True)
             dq_f, dv_f = _backward_fused(q, v_cat, lse, do_cat, dsum,
                                          tq_b, min(tk, 512))
             dq, dv_cat = dq_f.astype(q.dtype), dv_f
