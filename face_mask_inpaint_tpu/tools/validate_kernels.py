@@ -183,6 +183,11 @@ def main(out_path: str | None = None) -> dict:
     platform = jax.devices()[0].platform
     results: dict = {"platform": platform,
                      "compiled": platform in ("tpu", "axon")}
+    if not results["compiled"]:
+        results["note"] = (
+            "interpret-mode run (no TPU available); compiled on-chip "
+            "parity must be re-recorded when the relay is up — "
+            "scripts/tpu_refresh_artifacts.sh")
     all_ok = True
     for name, fn in CHECKS.items():
         try:
