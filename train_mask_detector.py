@@ -110,7 +110,7 @@ def train_net(net, args, epochs, batch_size, learning_rate, val_percent,
         logging.info("Model loaded from %s", args.load)
     state = replicate_tree(state, mesh)
 
-    train_step = jax.jit(make_unet_train_step(net, tx))
+    train_step = jax.jit(make_unet_train_step(net, tx), donate_argnums=0)
     eval_step = jax.jit(make_unet_eval_step(net))
 
     def evaluate(st):
