@@ -43,29 +43,17 @@ class VGG16Features(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
-        import os
-
-        # FMI_VGG_PACKED_DX=1: conv1_1's input gradient (the only grad that
-        # must reach the generator through this trunk) executes packed —
-        # the dense dX conv has ci=3 output lanes and measured 21.7 TF/s on
-        # the GAN-train trace. Identical math; opt-in pending on-chip A/B.
-        packed_dx = os.environ.get("FMI_VGG_PACKED_DX", "0") == "1"
+        # conv1_1's input gradient (the only grad that must reach the
+        # generator through this trunk) is a ci=3-lane conv traced at 21.7
+        # TF/s; Conv2d's FMI_PACKED_DX_CI3=1 hook (nn/layers.py) reroutes
+        # it through the half-in packed stencil — applies here automatically
         taps = []
         for b, (n_convs, ch) in enumerate(_BLOCKS):
             if b > 0:
                 x = max_pool2d(x, 2)
             for c in range(n_convs):
-                conv = Conv2d(ch, 3, padding=1, dtype=self.dtype,
-                              name=f"conv{b + 1}_{c + 1}")
-                if packed_dx and b == 0 and c == 0:
-                    from face_mask_inpaint_tpu.ops.conv import conv2d_packed_dx
-
-                    w, bias = conv(x, return_weights=True)
-                    # match Conv2d's own input cast so the flag changes
-                    # execution strategy only, never the compute dtype
-                    x = conv2d_packed_dx(x.astype(self.dtype), w, bias)
-                else:
-                    x = conv(x)
+                x = Conv2d(ch, 3, padding=1, dtype=self.dtype,
+                           name=f"conv{b + 1}_{c + 1}")(x)
                 x = jax.nn.relu(x)
             taps.append(x)
         return taps

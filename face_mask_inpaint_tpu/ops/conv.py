@@ -148,30 +148,30 @@ def pixel_shuffle(x: jax.Array, upscale_factor: int) -> jax.Array:
 
 
 @jax.custom_vjp
-def conv2d_packed_dx(x: jax.Array, weight: jax.Array, bias: jax.Array) -> jax.Array:
-    """3x3 stride-1 'same' conv whose INPUT gradient executes space-to-depth
-    packed.
+def _conv2d_packed_dx_core(x: jax.Array, weight: jax.Array) -> jax.Array:
+    """3x3 stride-1 'same' conv (no bias) whose INPUT gradient executes
+    space-to-depth packed.
 
-    For a small-ci conv (VGG conv1_1: ci=3, co=64), the backward-to-input
-    conv dX = dY * rot180(W)^T has only ci=3 output lanes — measured 21.7
-    TF/s on the GAN-train trace (3 loss pairs x 1.42 ms/step). The packed
-    form computes dX at r=4 packing via the half-in stencil (input dY packed
-    at r/2=2, output 16*3=48 lanes) and unpacks — the same lane-filling
-    trade the packed decoder tail uses (reference ships this op as a CUDA
-    pair: modules/psp/stylegan2/op/; here it is a vjp-level execution
-    strategy with identical math)."""
-    return conv2d(x, weight, bias, padding=1)
+    For a small-ci conv (VGG conv1_1 ci=3 co=64; the discriminator's image
+    stem), the backward-to-input conv dX = dY * rot180(W)^T has only ci=3
+    output lanes — traced at 21.7 TF/s (VGG, 3 loss pairs x 1.42 ms/step)
+    and 1.2 TF/s (D block0). The packed form computes dX at r=4 packing via
+    the half-in stencil (dY packed at r/2=2, output 16*ci lanes) and
+    unpacks — the same lane-filling trade the packed decoder tail uses
+    (the reference ships this op family as CUDA:
+    modules/psp/stylegan2/op/); a vjp-level execution strategy with
+    identical math."""
+    return conv2d(x, weight, None, padding=1)
 
 
-def _cpdx_fwd(x, weight, bias):
-    return conv2d(x, weight, bias, padding=1), (x, weight)
+def _cpdx_fwd(x, weight):
+    return conv2d(x, weight, None, padding=1), (x, weight)
 
 
 def _cpdx_bwd(res, dy):
     x, weight = res
     _, vjp_w = jax.vjp(lambda w_: conv2d(x, w_, None, padding=1), weight)
     (dw,) = vjp_w(dy)
-    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2)).astype(dy.dtype)
     w_g = jnp.flip(weight, (0, 1)).transpose(0, 1, 3, 2)  # [kh, kw, co, ci]
     n, h, wd, _ = x.shape
     if h % 4 == 0 and wd % 4 == 0:
@@ -183,7 +183,14 @@ def _cpdx_bwd(res, dy):
         dx = depth_to_space(z, 4).astype(x.dtype)
     else:
         dx = conv2d(dy, w_g.astype(dy.dtype), None, padding=1).astype(x.dtype)
-    return dx, dw, db
+    return dx, dw
 
 
-conv2d_packed_dx.defvjp(_cpdx_fwd, _cpdx_bwd)
+_conv2d_packed_dx_core.defvjp(_cpdx_fwd, _cpdx_bwd)
+
+
+def conv2d_packed_dx(x: jax.Array, weight: jax.Array, bias=None) -> jax.Array:
+    """See _conv2d_packed_dx_core; the bias adds outside the custom vjp so
+    its gradient (and None handling) stays with JAX."""
+    y = _conv2d_packed_dx_core(x, weight)
+    return y + bias.astype(y.dtype) if bias is not None else y

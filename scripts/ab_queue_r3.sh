@@ -26,7 +26,7 @@ run flagship-sym-t1024       BENCH_MODE=flagship FMI_FLASH_SYM=1 FMI_FLASH_SYM_T
 run gan-base                 BENCH_MODE=gan_train
 run gan-symbwd               BENCH_MODE=gan_train FMI_FLASH_SYM_BWD=1
 run gan-sym                  BENCH_MODE=gan_train FMI_FLASH_SYM=1
-run gan-symbwd-vggdx         BENCH_MODE=gan_train FMI_FLASH_SYM_BWD=1 FMI_VGG_PACKED_DX=1
+run gan-symbwd-packeddx         BENCH_MODE=gan_train FMI_FLASH_SYM_BWD=1 FMI_PACKED_DX_CI3=1
 
 # 3. pSp (flat-noise + donation already default; compare vs recorded 134.18 @ bs16)
 run psp-base                 BENCH_MODE=psp
