@@ -126,3 +126,23 @@ def test_precision_policy_and_scheduler():
     assert float(step_sched(5)) == pytest.approx(1e-4)
     exp_sched = get_scheduler("exponent", 1e-3)
     assert float(exp_sched(1)) == pytest.approx(0.95e-3)
+
+
+def test_hub_factories():
+    """hub.py — the torch-hub packaging analog (reference
+    modules/unet/extra/hubconf.py): factories return (module, variables)
+    ready to apply."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu import hub
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    net, vs = hub.unet_carvana()
+    assert net.apply(vs, x, train=False).shape == (1, 64, 64, 2)
+    det, dv = hub.mask_detector()
+    assert det.apply(dv, x, method=type(det).predict_mask).shape == (1, 64, 64)
+    rf, rv = hub.reference_fill(out_size=64)
+    out = rf.apply(rv, x, x, jnp.zeros((1, 64, 64), jnp.float32),
+                   train=False, rngs={"sample": jax.random.PRNGKey(0)})
+    assert out.shape == (1, 64, 64, 3)
