@@ -769,11 +769,14 @@ def flash_attention(
 
     # FMI_FLASH_SYM=1 switches to the triangular-sweep kernels (score tile
     # computed once per unordered pair; see _sym_fwd_kernel/_sym_bwd_kernel).
-    # FMI_FLASH_SYM_BWD=1 enables just the backward (the model's d = C/4 is
+    # FMI_FLASH_SYM_BWD enables just the backward (the model's d = C/4 is
     # tiny, so the forward's saving is ~d/(2(d+c)) ≈ 5% while the backward
     # drops two of six c-unit matmuls AND halves the exp2 tiles — the
-    # asymmetric win). Defaults off until the on-chip A/B lands; falls back
-    # automatically when the full-length accumulators would not fit VMEM.
+    # asymmetric win). On-chip A/B (r3): sym backward 67.84 vs 64.46 imgs/s
+    # on the bs8 bf16 GAN-train bench → default ON; the sym FORWARD lost
+    # on the flagship (199.7 vs 225.5, t=1024 222.9) → default off. Falls
+    # back automatically when the full-length accumulators would not fit
+    # VMEM.
     c_total = sum(v.shape[-1] for v in values)
     t_sym = int(os.environ.get("FMI_FLASH_SYM_T", "512"))
     esize = max(jnp.dtype(v.dtype).itemsize for v in values)
@@ -781,7 +784,7 @@ def flash_attention(
     use_sym = sym_flag and _sym_fwd_fits(
         q.shape[1], q.shape[-1], c_total, t_sym, esize)
     use_sym_bwd = (
-        (sym_flag or os.environ.get("FMI_FLASH_SYM_BWD", "0") == "1")
+        (sym_flag or os.environ.get("FMI_FLASH_SYM_BWD", "1") == "1")
         and _sym_bwd_fits(q.shape[1], q.shape[-1], c_total, t_sym, esize))
 
     @jax.custom_vjp
