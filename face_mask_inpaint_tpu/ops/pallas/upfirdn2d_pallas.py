@@ -63,11 +63,15 @@ def upfirdn1d_axis(
         l_in, other = w, h
     l_out = _out_len(l_in, up, down, pad0, pad1, ktaps)
 
-    # VMEM-aware tile: the kernel body holds the input block, a padded copy,
-    # per-phase accumulators and the output, all in f32 — budget ~2 MB for the
-    # padded copy so the total stays well under the 16 MB scoped limit.
-    bytes_per_col = (l_in + l_out + 2 * ktaps) * c * 4
-    budget = 2 * 1024 * 1024
+    # VMEM-aware tile: the kernel body holds the (double-buffered) input and
+    # output blocks, a padded copy, per-phase accumulators and the stacked
+    # phases, all in f32 — ~3*(l_in+l_out) live rows per tile column. Lanes
+    # pad to 128 on TPU, so small-c inputs cost as much as c=128 (this is
+    # what OOM'd the c=8 up=2 validation shape at the old estimate).
+    c_eff = -(-c // 128) * 128
+    rows = 3 * (l_in + l_out) + 4 * ktaps
+    bytes_per_col = rows * c_eff * 4
+    budget = 6 * 1024 * 1024
     t = max(8, min(tile, budget // max(bytes_per_col, 1)))
     t = min(t, other)
     # Mosaic sublane constraint: a partial block's second-to-last dim (= t in

@@ -140,8 +140,13 @@ def check_upfirdn2d():
     for up, down, pad in ((1, 1, (2, 1)), (2, 1, (2, 1)), (1, 2, (2, 2))):
         a = jax.jit(lambda x, up=up, down=down, pad=pad: upfirdn2d_pallas(
             x, k, up, down, pad))(x)
-        b = jax.jit(lambda x, up=up, down=down, pad=pad: upfirdn2d_lax(
-            x, jnp.asarray(k), up, down, pad))(x)
+        # pin the lax reference conv to exact f32 — the TPU default runs
+        # f32 convs as bf16 MXU passes (~1e-3 rel error), while the pallas
+        # kernel does exact f32 VPU math; without this the comparison
+        # measures the REFERENCE's rounding, not the kernel's.
+        with jax.default_matmul_precision("highest"):
+            b = jax.jit(lambda x, up=up, down=down, pad=pad: upfirdn2d_lax(
+                x, jnp.asarray(k), up, down, pad))(x)
         diffs.append(_maxdiff(a, b))
     d = max(diffs)
     return {"maxdiff": d, "ok": d < 1e-4}
