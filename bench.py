@@ -368,11 +368,14 @@ _MODES = {
     # carries batch_size.
     "psp": ("psp_stylegan2_1024_inference",
             lambda bs, steps: bench_psp(bs, steps), 16),
+    # bs16 measured best (round 3: 69.4 @ bs8 / 70.89 @ bs16 with the
+    # t=1024 sym backward); as with psp, the BASELINE config pins the
+    # model/flags, not the batch, and the record carries batch_size.
     "gan_train": ("gan_train_step_256",
                   lambda bs, steps: bench_gan_train(
                       bs, steps,
                       dtype=jnp.dtype(os.environ.get(
-                          "BENCH_GAN_DTYPE", "bfloat16"))), 8),
+                          "BENCH_GAN_DTYPE", "bfloat16"))), 16),
 }
 
 

@@ -776,9 +776,10 @@ def flash_attention(
     # on the bs8 bf16 GAN-train bench → default ON; the sym FORWARD lost
     # on the flagship (199.7 vs 225.5, t=1024 222.9) → default off. Falls
     # back automatically when the full-length accumulators would not fit
-    # VMEM.
+    # VMEM. Tile default 1024: A/B'd 69.4 (t=1024) vs 68.6 (512) vs 64.4
+    # (256) on the GAN-train bench; the fits guards drop oversized tiles.
     c_total = sum(v.shape[-1] for v in values)
-    t_sym = int(os.environ.get("FMI_FLASH_SYM_T", "512"))
+    t_sym = int(os.environ.get("FMI_FLASH_SYM_T", "1024"))
     esize = max(jnp.dtype(v.dtype).itemsize for v in values)
     sym_flag = os.environ.get("FMI_FLASH_SYM", "0") == "1"
     use_sym = sym_flag and _sym_fwd_fits(
