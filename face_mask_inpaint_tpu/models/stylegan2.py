@@ -276,17 +276,26 @@ class NoiseInjection(nn.Module):
                  packed_r: int = 1, packed_c: int = 0) -> jax.Array:
         w = self.param("weight", nn.initializers.zeros, (1,))
         if packed_r > 1:
-            from face_mask_inpaint_tpu.ops.packed import space_to_depth
+            import os
+
+            from face_mask_inpaint_tpu.ops.packed import (
+                noise_expand_packed, space_to_depth)
 
             n, g1, g2, _ = image.shape
             h, wd = g1 * packed_r, g2 * packed_r
             if noise is None:
                 noise = jax.random.normal(
                     self.make_rng("noise"), (n, h, wd, 1), image.dtype)
-            noise_p = space_to_depth(
-                jnp.broadcast_to(noise, (n, h, wd, 1)).astype(image.dtype),
-                packed_r)  # [n, g1, g2, r²]
-            noise_flat = jnp.repeat(noise_p, packed_c, axis=-1)
+            noise_b = jnp.broadcast_to(noise, (n, h, wd, 1)).astype(image.dtype)
+            if os.environ.get("FMI_PACKED_NOISE_CONV", "1") == "1":
+                # bit-exact conv form of s2d+repeat: lands in the stage's
+                # conv layout instead of forcing a transposed elementwise
+                # chain + full-tensor relayout copies (see
+                # ops/packed.py:noise_expand_packed)
+                noise_flat = noise_expand_packed(noise_b, packed_r, packed_c)
+            else:
+                noise_p = space_to_depth(noise_b, packed_r)  # [n, g1, g2, r²]
+                noise_flat = jnp.repeat(noise_p, packed_c, axis=-1)
             return image + w.astype(image.dtype) * noise_flat
         if noise is None:
             n, h, wd, _ = image.shape

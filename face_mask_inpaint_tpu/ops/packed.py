@@ -479,3 +479,30 @@ def packed_channel_scale(x: jax.Array, s: jax.Array, r: int) -> jax.Array:
     c = cc // (r * r)
     y = x.reshape(n, g1, g2, r * r, c) * s[:, None, None, None, :].astype(x.dtype)
     return y.reshape(n, g1, g2, cc)
+
+
+@functools.lru_cache(maxsize=None)
+def _noise_expand_kernel_np(r: int, c: int) -> np.ndarray:
+    """Stride-r selection conv turning a full-resolution [N, rG, rG, 1]
+    noise map into the FLAT packed [N, G, G, r²c] layout (slot-major,
+    repeated per original channel): k[a, b, 0, (a*r+b)*c + ch] = 1."""
+    k = np.zeros((r, r, 1, r * r * c), np.float32)
+    for a in range(r):
+        for b in range(r):
+            k[a, b, 0, (a * r + b) * c:(a * r + b) * c + c] = 1.0
+    return k
+
+
+def noise_expand_packed(noise: jax.Array, r: int, c: int) -> jax.Array:
+    """space_to_depth(noise, r) repeated per original channel, as ONE
+    stride-r conv.
+
+    Bit-exact vs the reshape/transpose + jnp.repeat formulation (every
+    output element is a single 1.0*x tap plus exact zeros), but the conv
+    comes out directly in the convolution layout XLA assigns the rest of
+    the packed synthesis stage — the broadcast+reshape form made XLA pick
+    a transposed layout for the elementwise noise chain and pay
+    full-tensor relayout copies on the 512²/1024² stages (pSp bs16 trace:
+    copy.111/116 + broadcast.232/239 ~= 9.7 ms/iter)."""
+    k = jnp.asarray(_noise_expand_kernel_np(r, c), noise.dtype)
+    return conv2d(noise, k, stride=r, padding=0)

@@ -396,3 +396,49 @@ def test_packed_torgb_grouped_matches(monkeypatch):
     got = m.apply(variables, xp, style, pack_in=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_noise_expand_packed_bit_exact():
+    """The conv-form noise expansion must be BIT-identical to the
+    space_to_depth + per-channel repeat formulation (every output element
+    is a single 1.0*x tap plus exact zeros), in f32 and bf16."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.ops.packed import (
+        noise_expand_packed, space_to_depth)
+
+    rng = np.random.RandomState(12)
+    for r, c, hw in ((2, 32, 16), (2, 64, 8), (4, 16, 8)):
+        noise = jnp.asarray(rng.randn(3, hw, hw, 1).astype(np.float32))
+        for dt in (jnp.float32, jnp.bfloat16):
+            nb = noise.astype(dt)
+            got = noise_expand_packed(nb, r, c)
+            ref = jnp.repeat(space_to_depth(nb, r), c, axis=-1)
+            assert got.shape == ref.shape
+            assert jnp.array_equal(got, ref), (r, c, dt)
+
+
+def test_noise_injection_conv_path_matches_repeat(monkeypatch):
+    """NoiseInjection's packed path must produce identical output with
+    FMI_PACKED_NOISE_CONV on and off (explicit noise)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.models.stylegan2 import NoiseInjection
+    from face_mask_inpaint_tpu.ops.packed import space_to_depth
+
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(2, 16, 16, 12).astype(np.float32))
+    xp = space_to_depth(x, 2)
+    noise = jnp.asarray(rng.randn(2, 16, 16, 1).astype(np.float32))
+    m = NoiseInjection()
+    variables = m.init(jax.random.PRNGKey(0), xp, noise, packed_r=2,
+                       packed_c=12)
+    variables = jax.tree.map(lambda a: a + 0.37, variables)  # nonzero weight
+    monkeypatch.setenv("FMI_PACKED_NOISE_CONV", "0")
+    ref = m.apply(variables, xp, noise, packed_r=2, packed_c=12)
+    monkeypatch.setenv("FMI_PACKED_NOISE_CONV", "1")
+    got = m.apply(variables, xp, noise, packed_r=2, packed_c=12)
+    assert jnp.array_equal(got, ref)
