@@ -380,6 +380,9 @@ _MODES = {
 
 
 def _run_flagship(steps):
+    # bs16 measured best (round 3: 224.9 @ bs16 vs 214.5 @ bs32 — the
+    # larger batch pushes the flash-attention working set past the VMEM
+    # sweet spot without amortizing anything new).
     if os.environ.get("BENCH_SWEEP") == "1":
         sizes = (8, 16, 32)
     else:
