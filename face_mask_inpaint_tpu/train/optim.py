@@ -161,7 +161,9 @@ def ranger(
         if params is None:
             raise ValueError("ranger requires params")
         count = state.count + 1
-        t = count.astype(jnp.float32)
+        # canonical float type: f64 under jax_enable_x64 (the trajectory
+        # parity test runs there), f32 otherwise
+        t = count.astype(jnp.result_type(float))
 
         def centralize(g):
             if use_gc and g.ndim > 1:

@@ -195,6 +195,97 @@ def test_ranger_matches_reference_torch_free_properties():
     assert vals[-1] < vals[0] * 0.5
 
 
+def test_ranger_trajectory_matches_reference_torch():
+    """Step-for-step parity with the reference optimizer
+    (modules/psp/ranger.py:29-184), re-implemented inline in torch below as
+    the oracle (same pattern as the model-parity tests). 14 steps with
+    b2=0.999 span the unrectified RAdam phase (N_sma <= 5 for the first few
+    steps), the rectified phase, and two lookahead k=6 sync boundaries
+    (t=6, 12); params include a conv-shaped 4-D tensor (gradient
+    centralization active, grad.dim() > 1) and a 1-D bias (GC skipped).
+
+    Both sides run in float64 (jax x64 context / torch double) so the ≤1e-9
+    agreement is a statement about SEMANTICS — in f32 the two trajectories
+    drift apart by ~6e-6 of pure reduction-order noise through the adaptive
+    denominators, which would mask a subtly wrong schedule."""
+    import math
+
+    import torch
+
+    lr, alpha, k, thresh = 1e-2, 0.5, 6, 5
+    b1, b2, eps = 0.95, 0.999, 1e-5
+    n_steps = 14
+    rng = np.random.RandomState(42)
+    init = {
+        "conv": rng.randn(8, 3, 3, 4).astype(np.float64),
+        "bias": rng.randn(8).astype(np.float64),
+    }
+    grad_seq = [
+        {n: rng.randn(*p.shape).astype(np.float64) for n, p in init.items()}
+        for _ in range(n_steps)
+    ]
+
+    # --- torch oracle: faithful transcription of Ranger.step (ranger.py:93-184)
+    t_params = {n: torch.tensor(p, requires_grad=False) for n, p in init.items()}
+    t_state = {
+        n: {
+            "step": 0,
+            "exp_avg": torch.zeros_like(p),
+            "exp_avg_sq": torch.zeros_like(p),
+            "slow_buffer": p.clone(),
+        }
+        for n, p in t_params.items()
+    }
+    for g_np in grad_seq:
+        for n, p in t_params.items():
+            grad = torch.tensor(g_np[n]).double()
+            st = t_state[n]
+            # GC for dim > gc_gradient_threshold(=1) (ranger.py:133-134)
+            if grad.dim() > 1:
+                grad.add_(-grad.mean(dim=tuple(range(1, grad.dim())), keepdim=True))
+            st["step"] += 1
+            st["exp_avg_sq"].mul_(b2).addcmul_(grad, grad, value=1 - b2)
+            st["exp_avg"].mul_(b1).add_(grad, alpha=1 - b1)
+            t = st["step"]
+            beta2_t = b2 ** t
+            n_sma_max = 2 / (1 - b2) - 1
+            n_sma = n_sma_max - 2 * t * beta2_t / (1 - beta2_t)
+            if n_sma > thresh:
+                step_size = math.sqrt(
+                    (1 - beta2_t) * (n_sma - 4) / (n_sma_max - 4)
+                    * (n_sma - 2) / n_sma * n_sma_max / (n_sma_max - 2)
+                ) / (1 - b1 ** t)
+                denom = st["exp_avg_sq"].sqrt().add_(eps)
+                p.addcdiv_(st["exp_avg"], denom, value=-step_size * lr)
+            else:
+                step_size = 1.0 / (1 - b1 ** t)
+                p.add_(st["exp_avg"], alpha=-step_size * lr)
+            if st["step"] % k == 0:  # integrated lookahead (ranger.py:176-182)
+                st["slow_buffer"].add_(p - st["slow_buffer"], alpha=alpha)
+                p.copy_(st["slow_buffer"])
+
+    # --- ours, under x64 so dtype (not math) is the only difference knob
+    with jax.enable_x64():
+        tx = ranger(lr, alpha=alpha, k=k, n_sma_threshold=thresh,
+                    b1=b1, b2=b2, eps=eps)
+        params = {n: jnp.asarray(p, jnp.float64) for n, p in init.items()}
+        opt_state = tx.init(params)
+        for g_np in grad_seq:
+            grads = {n: jnp.asarray(g, jnp.float64) for n, g in g_np.items()}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        params = jax.device_get(params)
+        slow = jax.device_get(opt_state.slow)
+
+    for n in init:
+        np.testing.assert_allclose(
+            np.asarray(params[n]), t_params[n].numpy(), rtol=1e-9, atol=1e-9,
+            err_msg=f"ranger trajectory diverged on {n} after {n_steps} steps")
+        np.testing.assert_allclose(
+            np.asarray(slow[n]), t_state[n]["slow_buffer"].numpy(),
+            rtol=1e-9, atol=1e-9, err_msg=f"lookahead slow buffer on {n}")
+
+
 def _assert_trees_equal(a, b, what):
     la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
     assert len(la) == len(lb), what
