@@ -55,7 +55,11 @@ def make_psp_train_step(
     use_ref: bool = True,
     randomize_noise: bool = True,
     return_grads: bool = False,
+    resize: bool = True,
 ) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """resize mirrors pSp.forward's flag (face_pool to 256², psp.py:113-114);
+    the real trainer keeps the default — tests on tiny shapes disable it so
+    every loss term can run at the generator's native resolution."""
     def step(state: TrainState, batch: dict):
         rng, noise_rng = jax.random.split(state.rng)
 
@@ -68,6 +72,7 @@ def make_psp_train_step(
                 src_mask=batch["mask"] if use_ref else None,
                 return_latents=True,
                 randomize_noise=randomize_noise,
+                resize=resize,
                 train=True,
                 rngs={"noise": noise_rng},
                 mutable=["batch_stats", "spectral"],
