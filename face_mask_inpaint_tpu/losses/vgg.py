@@ -27,7 +27,8 @@ from face_mask_inpaint_tpu.ops.resize import max_pool2d, scale_img
 Dtype = Any
 
 __all__ = ["VGG16Features", "vgg_loss", "gan_vgg_losses", "style_loss_gram",
-           "contextual_loss"]
+           "contextual_loss", "normalization", "VGG16SplitFeatures",
+           "get_features"]
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -107,6 +108,54 @@ def _preprocess(img: jax.Array) -> jax.Array:
     mean = jnp.asarray(_IMAGENET_MEAN, img.dtype)
     std = jnp.asarray(_IMAGENET_STD, img.dtype)
     return (img - mean) / std
+
+
+def normalization(x: jax.Array, mean, std) -> jax.Array:
+    """Normalization module (external_function.py:205-213), functional: per-
+    channel (x - mean) / std on NHWC (the reference broadcasts over CHW)."""
+    mean = jnp.asarray(mean, x.dtype).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, x.dtype).reshape(1, 1, 1, -1)
+    return (x - mean) / std
+
+
+# conv counts per block for the FULL vgg16 trunk; get_features
+# (external_function.py:215-229) splits at POOL boundaries
+# (vgg[0:5], [5:10], [10:17], [17:24], [24:31]), unlike VGGLoss's relu taps.
+_SPLIT_BLOCKS: Sequence[tuple[int, int]] = (
+    (2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+
+class VGG16SplitFeatures(nn.Module):
+    """get_features (external_function.py:215-229): the full 13-conv VGG16
+    trunk tapped AFTER each maxpool. Unused by the reference's main path but
+    part of its public surface; params convert via
+    tools/convert_torch.convert_vgg16_split_features."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, layers: int = 6) -> list[jax.Array]:
+        # img_crop (external_function.py:195-197): ALWAYS bilinear
+        # align_corners resize to 224, up- or down-sampling
+        x = scale_img(x, (224, 224))
+        outs = []
+        for b, (n_convs, ch) in enumerate(_SPLIT_BLOCKS):
+            if b + 1 >= layers:
+                break
+            for c in range(n_convs):
+                x = Conv2d(ch, 3, padding=1, dtype=self.dtype,
+                           name=f"conv{b + 1}_{c + 1}")(x)
+                x = jax.nn.relu(x)
+            x = max_pool2d(x, 2)
+            outs.append(x)
+        return outs
+
+
+def get_features(params, x: jax.Array, layers: int = 6,
+                 dtype: Dtype = jnp.float32) -> list[jax.Array]:
+    """Functional wrapper matching get_features.forward(input, layers):
+    outputs of conv blocks 1..layers-1 (each after its pool)."""
+    return VGG16SplitFeatures(dtype=dtype).apply({"params": params}, x, layers)
 
 
 def vgg_loss(

@@ -32,6 +32,7 @@ __all__ = [
     "load_torch_state_dict",
     "convert_unet",
     "convert_vgg16_features",
+    "convert_vgg16_split_features",
     "convert_lpips_alex",
     "convert_lpips",
     "convert_irse_backbone",
@@ -214,6 +215,21 @@ def convert_vgg16_features(sd: dict) -> dict:
     """torchvision vgg16 state dict -> VGG16Features params (up to relu4_3)."""
     params = {}
     for name, idx in _VGG_IDX.items():
+        params[name] = {
+            "kernel": conv_w(sd[f"features.{idx}.weight"]),
+            "bias": sd[f"features.{idx}.bias"],
+        }
+    return params
+
+
+_VGG_SPLIT_IDX = dict(_VGG_IDX, conv5_1=24, conv5_2=26, conv5_3=28)
+
+
+def convert_vgg16_split_features(sd: dict) -> dict:
+    """torchvision vgg16 -> VGG16SplitFeatures params (full 13-conv trunk for
+    the get_features splitter, external_function.py:215-229)."""
+    params = {}
+    for name, idx in _VGG_SPLIT_IDX.items():
         params[name] = {
             "kernel": conv_w(sd[f"features.{idx}.weight"]),
             "bias": sd[f"features.{idx}.bias"],

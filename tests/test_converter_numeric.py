@@ -79,6 +79,42 @@ def test_vgg16_features_numeric_parity():
             rtol=1e-3, atol=1e-4)
 
 
+def test_vgg16_split_features_get_features_parity():
+    """get_features (external_function.py:215-229): full trunk split at POOL
+    boundaries (vgg[0:5],[5:10],[10:17],[17:24],[24:31]) with the img_crop
+    224 bilinear align_corners resize (external_function.py:195-197)."""
+    from face_mask_inpaint_tpu.losses.vgg import get_features, normalization
+
+    tm = _torch_vgg16_features().eval()
+    sd = {f"features.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    params = _j(ct.convert_vgg16_split_features(sd))
+
+    x = np.random.RandomState(1).rand(1, 64, 64, 3).astype(np.float32)
+    outs = get_features(params, jnp.asarray(x), layers=6)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = F.interpolate(xt, size=(224, 224), mode="bilinear",
+                          align_corners=True)
+        t_outs = []
+        for i, layer in enumerate(tm):
+            h = layer(h)
+            if i in (4, 9, 16, 23, 30):  # after each MaxPool2d
+                t_outs.append(h)
+    assert len(outs) == 5
+    for ours, theirs in zip(outs, t_outs):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-4)
+    # layers arg truncates like the reference's range(1, layers)
+    assert len(get_features(params, jnp.asarray(x), layers=3)) == 2
+
+    # Normalization module (external_function.py:205-213)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    got = normalization(jnp.asarray(x), mean, std)
+    want = (x - np.asarray(mean).reshape(1, 1, 1, 3)) / np.asarray(std).reshape(1, 1, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # LPIPS — alex / squeeze / vgg trunks + lin heads
 # ---------------------------------------------------------------------------
