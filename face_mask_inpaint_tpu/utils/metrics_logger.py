@@ -40,15 +40,19 @@ def _to_scalar(v):
 
 
 def histogram_summary(tree, prefix: str) -> dict:
-    """Weight/grad histogram stand-in: summary stats per leaf (the reference
-    ships full wandb.Histogram objects; JSONL gets moments instead)."""
+    """Weight/grad histograms per leaf (train_reference_fill.py:372-398).
+
+    Returns the raw host arrays: MetricsLogger.log writes moment summaries
+    to JSONL (via _to_scalar) and ships full ``wandb.Histogram`` payloads
+    when wandb is active — matching the reference's
+    ``wandb.Histogram(value.data.cpu())`` behavior."""
     import jax
 
     out = {}
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in flat:
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        out[f"{prefix}/{name}"] = _to_scalar(leaf)
+        out[f"{prefix}/{name}"] = np.asarray(leaf)
     return out
 
 
@@ -91,10 +95,22 @@ class MetricsLogger:
         self._fh.flush()
         if self._wandb is not None:
             try:
-                self._wandb.log(
-                    {k: v for k, v in metrics.items() if np.asarray(v).size == 1},
-                    step=step,
-                )
+                import wandb
+
+                payload = {}
+                for k, v in metrics.items():
+                    if isinstance(v, (dict, str)):
+                        continue
+                    arr = np.asarray(v)
+                    if arr.dtype == object:
+                        continue
+                    if arr.size == 1:
+                        payload[k] = float(arr)
+                    else:
+                        # full histogram payload, as the reference ships
+                        # (wandb.Histogram(value.data.cpu()))
+                        payload[k] = wandb.Histogram(arr.reshape(-1))
+                self._wandb.log(payload, step=step)
             except Exception:
                 pass
 

@@ -113,6 +113,49 @@ def test_metrics_logger(tmp_path):
     assert recs[2]["hist"]["mean"] == 4.5
 
 
+def test_metrics_logger_wandb_histograms(tmp_path, monkeypatch):
+    """With wandb active, array-valued metrics ship as full wandb.Histogram
+    payloads (train_reference_fill.py:372-398 behavior), not moment dicts."""
+    import sys
+    import types
+
+    logged = []
+
+    class _Hist:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+    class _Run:
+        def log(self, payload, step=None):
+            logged.append((step, payload))
+
+        def finish(self):
+            pass
+
+    stub = types.ModuleType("wandb")
+    stub.Histogram = _Hist
+    stub.Image = lambda a: ("image", np.asarray(a).shape)
+    stub.init = lambda **kw: _Run()
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from face_mask_inpaint_tpu.utils.metrics_logger import histogram_summary
+
+    logger = MetricsLogger(tmp_path, use_wandb=True)
+    assert logger._wandb is not None
+    hists = histogram_summary({"layer": {"kernel": np.arange(12.0).reshape(3, 4)}},
+                              "Weights/G")
+    logger.log({"loss": 0.25, **hists}, step=3)
+    logger.close()
+
+    (step, payload), = [x for x in logged if "loss" in x[1]]
+    assert step == 3 and payload["loss"] == 0.25
+    h = payload["Weights/G/layer/kernel"]
+    assert isinstance(h, _Hist) and h.arr.shape == (12,)  # full payload, flat
+    # JSONL side still gets moments
+    recs = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert recs[-1]["Weights/G/layer/kernel"]["mean"] == 5.5
+
+
 def test_precision_policy_and_scheduler():
     pol = get_policy("bfloat16")
     assert pol.dtype == jnp.bfloat16 and pol.param_dtype == jnp.float32
