@@ -474,11 +474,18 @@ def conv1x1_w_grouped(x: jax.Array, wp: jax.Array, g: int) -> jax.Array:
 
 
 def packed_channel_scale(x: jax.Array, s: jax.Array, r: int) -> jax.Array:
-    """x [N, G, G, r²C] * s [N, C] broadcast per original channel."""
+    """x [N, G, G, r²C] * s [N, C] broadcast per original channel.
+
+    FLAT form: the packed channel axis is slot-major (channel j = slot*C +
+    ch), so tiling s r² times along its channel axis gives the per-packed-
+    channel scale directly — bit-identical to the 5-D reshape-multiply but
+    it stays in the conv's [N, G, G, r²C] layout (the 5-D view forced
+    relayout copies around every modulated conv at the pSp 512²/1024²
+    stages, same failure mode as the noise epilogue fixed in round 3)."""
     n, g1, g2, cc = x.shape
     c = cc // (r * r)
-    y = x.reshape(n, g1, g2, r * r, c) * s[:, None, None, None, :].astype(x.dtype)
-    return y.reshape(n, g1, g2, cc)
+    s_flat = jnp.tile(s, (1, r * r))  # [N, r²C], element j scales ch j % C
+    return x * s_flat[:, None, None, :].astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=None)

@@ -442,3 +442,25 @@ def test_noise_injection_conv_path_matches_repeat(monkeypatch):
     monkeypatch.setenv("FMI_PACKED_NOISE_CONV", "1")
     got = m.apply(variables, xp, noise, packed_r=2, packed_c=12)
     assert jnp.array_equal(got, ref)
+
+
+def test_packed_channel_scale_flat_matches_5d():
+    """packed_channel_scale's flat slot-major tile form is bit-identical to
+    the 5-D reshape-broadcast-multiply it replaced (round 4: the 5-D view
+    forced relayout copies around the pSp 512²/1024² modulated convs)."""
+    rng = np.random.RandomState(7)
+    for r, c in ((2, 5), (4, 3), (4, 32)):
+        x = jnp.asarray(rng.randn(2, 6, 6, r * r * c).astype(np.float32))
+        s = jnp.asarray(rng.randn(2, c).astype(np.float32))
+        got = P.packed_channel_scale(x, s, r)
+        n, g1, g2, cc = x.shape
+        ref = (x.reshape(n, g1, g2, r * r, c)
+               * s[:, None, None, None, :]).reshape(n, g1, g2, cc)
+        assert jnp.array_equal(got, ref), (r, c)
+        # bf16 x keeps the scale cast semantics of the old form
+        xb = x.astype(jnp.bfloat16)
+        gotb = P.packed_channel_scale(xb, s, r)
+        refb = (xb.reshape(n, g1, g2, r * r, c)
+                * s[:, None, None, None, :].astype(jnp.bfloat16)
+                ).reshape(n, g1, g2, cc)
+        assert jnp.array_equal(gotb, refb), (r, c, "bf16")
