@@ -118,7 +118,13 @@ def bench_flagship(batch_size: int, steps: int = 20, dtype=jnp.bfloat16):
 
 
 def bench_unet_forward(steps: int = 20):
-    """Config 1: UNet mask-detector forward, CPU, batch 1."""
+    """Config 1: UNet mask-detector forward, CPU, batch 1.
+
+    This config is host-CPU-bound by construction (BASELINE.md config 1
+    mirrors the reference's CPU demo path): the program is 80.5 GFLOP/iter
+    (XLA cost_analysis) and this container exposes ONE core (measured
+    ~33 GFLOP/s ≈ 25% of the 2.1 GHz AVX-512 single-core f32 peak —
+    normal XLA-CPU conv territory; see ROUND4_NOTES.md item 8)."""
     from face_mask_inpaint_tpu.models.unet import MaskDetector
 
     cpu = jax.devices("cpu")[0]

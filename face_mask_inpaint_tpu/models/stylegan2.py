@@ -286,7 +286,12 @@ class NoiseInjection(nn.Module):
             if noise is None:
                 noise = jax.random.normal(
                     self.make_rng("noise"), (n, h, wd, 1), image.dtype)
-            noise_b = jnp.broadcast_to(noise, (n, h, wd, 1)).astype(image.dtype)
+            # keep the noise map at ITS OWN batch (1 for the fixed per-layer
+            # buffers): the expansion conv then runs and materializes at
+            # batch 1 and the `image + w*noise_flat` add broadcasts for free
+            # — pre-broadcasting to n ran the 1024²-stage expansion 16x
+            # redundantly and wrote a ~1 GB intermediate at the pSp bench
+            noise_b = noise.astype(image.dtype)
             if os.environ.get("FMI_PACKED_NOISE_CONV", "1") == "1":
                 # bit-exact conv form of s2d+repeat: lands in the stage's
                 # conv layout instead of forcing a transposed elementwise

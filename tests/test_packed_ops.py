@@ -353,6 +353,28 @@ def test_d2s_rowconv_matches(monkeypatch):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_d2s_conv_threshold_matches(monkeypatch):
+    """FMI_D2S_CONV_MAX_C raises the selection-conv threshold (the pSp mid-
+    synthesis unpack at c=64 lowers to a 6-D transpose copy by default);
+    both conv forms must stay bit-exact vs the transpose at large c."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.ops import packed as P
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 6, 2 * 2 * 64).astype(np.float32))
+    monkeypatch.delenv("FMI_D2S_CONV_MAX_C", raising=False)
+    ref = P.depth_to_space(x, 2)
+    monkeypatch.setenv("FMI_D2S_CONV_MAX_C", "64")
+    monkeypatch.setenv("FMI_D2S_ROWCONV", "0")
+    np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, 2)),
+                                  np.asarray(ref))
+    monkeypatch.setenv("FMI_D2S_ROWCONV", "1")
+    np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, 2)),
+                                  np.asarray(ref))
+
+
 def test_conv1x1_w_grouped_matches():
     """conv1x1_w_grouped (kron(I_g, W) over fused w-cells) must equal the
     plain 1x1 conv exactly, incl. the gw % g fallback."""
