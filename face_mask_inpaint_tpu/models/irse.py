@@ -342,11 +342,13 @@ class GradualStyleEncoder(nn.Module):
 
         # FMI_STYLE_SCAN_UNROLL > 1 unrolls the scan body (same math, same
         # params): the while-loop overhead costs ~3 ms/iter at the config-4
-        # bench; unrolling trades compile time for it. Default 1 — the
-        # remote AOT compiler stalls on very large unrolled graphs.
+        # bench; unrolling trades compile time for it. Default 4 (on-chip
+        # A/B round 4: 159.1 -> 163.6 imgs/s pSp bs16, compiles fine through
+        # the remote relay); very large unrolled graphs can stall the AOT
+        # compiler, so the full-unroll case stays opt-in.
         import os
 
-        unroll = int(os.environ.get("FMI_STYLE_SCAN_UNROLL", "1"))
+        unroll = int(os.environ.get("FMI_STYLE_SCAN_UNROLL", "4"))
         _, outs = jax.lax.scan(one_block, None, stacked,
                                unroll=max(1, unroll))  # [G, N, 512]
         return outs.transpose(1, 0, 2)  # [N, G, 512]

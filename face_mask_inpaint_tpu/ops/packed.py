@@ -115,11 +115,13 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
 
     n, hp, wp, cc = x.shape
     c = cc // (r * r)
-    # FMI_D2S_CONV_MAX_C raises the conv-form threshold: the mid-synthesis
+    # FMI_D2S_CONV_MAX_C sets the conv-form threshold: the mid-synthesis
     # unpack at the pSp 512² boundary (c=64) lowers to a 3.2 ms/step 6-D
     # transpose copy at bs16, while the selection conv's MACs there are
-    # ~0.14 TFLOP ≈ 1 ms of MXU. Default 8 pending the on-chip A/B.
-    if c <= int(os.environ.get("FMI_D2S_CONV_MAX_C", "8")):
+    # ~0.14 TFLOP ≈ 1 ms of MXU. Default 64 (on-chip A/B round 4:
+    # 159.1 -> 162.7 imgs/s pSp bs16; combined with the style-scan unroll,
+    # 167.4). Beyond c=64 the conv's c² MAC growth crosses back over.
+    if c <= int(os.environ.get("FMI_D2S_CONV_MAX_C", "64")):
         if os.environ.get("FMI_D2S_ROWCONV", "0") == "1":
             k = jnp.asarray(_d2s_row_kernel_np(r, c), x.dtype)
             y = jax.lax.conv_general_dilated(
