@@ -341,14 +341,15 @@ class GradualStyleEncoder(nn.Module):
             return carry, out
 
         # FMI_STYLE_SCAN_UNROLL > 1 unrolls the scan body (same math, same
-        # params): the while-loop overhead costs ~3 ms/iter at the config-4
-        # bench; unrolling trades compile time for it. Default 4 (on-chip
-        # A/B round 4: 159.1 -> 163.6 imgs/s pSp bs16, compiles fine through
-        # the remote relay); very large unrolled graphs can stall the AOT
-        # compiler, so the full-unroll case stays opt-in.
+        # params): the while-loop overhead costs ~7 ms/step at the config-4
+        # bench; unrolling trades compile time for it. On-chip sweep
+        # (round 4, pSp bs16): 1 → 163.6* / 4 → 167.4 / 8 → 178.1 /
+        # 11 (full) → 175.4 imgs/s (*at the then-current tree) — default 8;
+        # very large unrolled graphs can stall the remote AOT compiler, so
+        # full unroll stays opt-in.
         import os
 
-        unroll = int(os.environ.get("FMI_STYLE_SCAN_UNROLL", "4"))
+        unroll = int(os.environ.get("FMI_STYLE_SCAN_UNROLL", "8"))
         _, outs = jax.lax.scan(one_block, None, stacked,
                                unroll=max(1, unroll))  # [G, N, 512]
         return outs.transpose(1, 0, 2)  # [N, G, 512]
