@@ -115,14 +115,23 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
 
     n, hp, wp, cc = x.shape
     c = cc // (r * r)
-    # FMI_D2S_CONV_MAX_C sets the conv-form threshold: the mid-synthesis
-    # unpack at the pSp 512² boundary (c=64) lowers to a 3.2 ms/step 6-D
-    # transpose copy at bs16, while the selection conv's MACs there are
-    # ~0.14 TFLOP ≈ 1 ms of MXU. Default 64 (on-chip A/B round 4:
-    # 159.1 -> 162.7 imgs/s pSp bs16; combined with the style-scan unroll,
-    # 167.4). Beyond c=64 the conv's c² MAC growth crosses back over.
-    if c <= int(os.environ.get("FMI_D2S_CONV_MAX_C", "64")):
-        if os.environ.get("FMI_D2S_ROWCONV", "0") == "1":
+    # Conv-form threshold on the selection conv's contraction depth r²c
+    # (= executed MACs per output element): the pSp mid-synthesis unpack
+    # (r=2, c=64, depth 256) lowers to a 3.2 ms/step 6-D transpose copy at
+    # bs16 while its conv form is ~1 ms of MXU (on-chip A/B round 4:
+    # 159.1 -> 162.7 imgs/s). A plain max-C threshold regressed the
+    # flagship/GAN r=4 sites (depth 16c: GAN bs8 68 -> 63 imgs/s), so the
+    # gate is depth-based: default 256 keeps every legacy c<=8 site
+    # (depth <= 128 at r<=4) plus the r=2 c<=64 ones.
+    if r * r * c <= int(os.environ.get("FMI_D2S_CONV_MAX_RRC", "256")) \
+            or c <= int(os.environ.get("FMI_D2S_CONV_MAX_C", "8")):
+        # FMI_D2S_ROWCONV=1 switches every conv-form site to the h-dilated
+        # row kernel; FMI_D2S_ROWCONV_MAX_C scopes it to small c only (the
+        # global switch measured -9 imgs/s at the pSp bench because the
+        # c=64 mid-synthesis site regressed, masking the c=3 final-image
+        # unpack's behavior).
+        if (os.environ.get("FMI_D2S_ROWCONV", "0") == "1"
+                or c <= int(os.environ.get("FMI_D2S_ROWCONV_MAX_C", "0"))):
             k = jnp.asarray(_d2s_row_kernel_np(r, c), x.dtype)
             y = jax.lax.conv_general_dilated(
                 x, k, window_strides=(1, 1),

@@ -364,15 +364,21 @@ def test_d2s_conv_threshold_matches(monkeypatch):
 
     rng = np.random.RandomState(11)
     x = jnp.asarray(rng.randn(2, 6, 6, 2 * 2 * 64).astype(np.float32))
-    monkeypatch.delenv("FMI_D2S_CONV_MAX_C", raising=False)
-    ref = P.depth_to_space(x, 2)
-    monkeypatch.setenv("FMI_D2S_CONV_MAX_C", "64")
-    monkeypatch.setenv("FMI_D2S_ROWCONV", "0")
-    np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, 2)),
-                                  np.asarray(ref))
-    monkeypatch.setenv("FMI_D2S_ROWCONV", "1")
-    np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, 2)),
-                                  np.asarray(ref))
+    monkeypatch.setenv("FMI_D2S_CONV_MAX_RRC", "0")
+    monkeypatch.setenv("FMI_D2S_CONV_MAX_C", "0")
+    ref = P.depth_to_space(x, 2)  # forced 6-D transpose form
+    for env in ({"FMI_D2S_CONV_MAX_RRC": "256"},       # the default gate
+                {"FMI_D2S_CONV_MAX_C": "64"}):         # explicit c override
+        monkeypatch.setenv("FMI_D2S_CONV_MAX_RRC", env.get(
+            "FMI_D2S_CONV_MAX_RRC", "0"))
+        monkeypatch.setenv("FMI_D2S_CONV_MAX_C", env.get(
+            "FMI_D2S_CONV_MAX_C", "0"))
+        monkeypatch.setenv("FMI_D2S_ROWCONV", "0")
+        np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, 2)),
+                                      np.asarray(ref))
+        monkeypatch.setenv("FMI_D2S_ROWCONV", "1")
+        np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, 2)),
+                                      np.asarray(ref))
 
 
 def test_conv1x1_w_grouped_matches():
