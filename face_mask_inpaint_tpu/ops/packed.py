@@ -123,6 +123,16 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     # flagship/GAN r=4 sites (depth 16c: GAN bs8 68 -> 63 imgs/s), so the
     # gate is depth-based: default 256 keeps every legacy c<=8 site
     # (depth <= 128 at r<=4) plus the r=2 c<=64 ones.
+    # FMI_D2S_SLICE_MAX_RRC: slice+stack form — row a of each r-block is a
+    # contiguous rc-wide lane slice of the packed channels ((w, b, ch) minor
+    # order is ALREADY the unpacked order), and the h-interleave is a
+    # major-dim stack whose rows move contiguously. Pure bandwidth (no MXU,
+    # no lane-starved conv emit); candidate for the tiny-c full-res unpacks.
+    slice_max = int(os.environ.get("FMI_D2S_SLICE_MAX_RRC", "0"))
+    if slice_max > 0 and r * r * c <= slice_max:
+        y = x.reshape(n, hp, wp, r, r * c)
+        z = jnp.stack([y[:, :, :, a, :] for a in range(r)], axis=2)
+        return z.reshape(n, hp * r, wp * r, c)
     if r * r * c <= int(os.environ.get("FMI_D2S_CONV_MAX_RRC", "256")) \
             or c <= int(os.environ.get("FMI_D2S_CONV_MAX_C", "8")):
         # FMI_D2S_ROWCONV=1 switches every conv-form site to the h-dilated

@@ -381,6 +381,26 @@ def test_d2s_conv_threshold_matches(monkeypatch):
                                       np.asarray(ref))
 
 
+def test_d2s_slice_form_matches(monkeypatch):
+    """FMI_D2S_SLICE_MAX_RRC: the slice+stack unpack must be bit-exact vs
+    the transpose form at every (r, c) the models use."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.ops import packed as P
+
+    rng = np.random.RandomState(13)
+    for r, c in ((2, 3), (4, 3), (2, 64), (2, 1)):
+        x = jnp.asarray(rng.randn(2, 6, 6, r * r * c).astype(np.float32))
+        monkeypatch.setenv("FMI_D2S_SLICE_MAX_RRC", "0")
+        monkeypatch.setenv("FMI_D2S_CONV_MAX_RRC", "0")
+        monkeypatch.setenv("FMI_D2S_CONV_MAX_C", "0")
+        ref = P.depth_to_space(x, r)
+        monkeypatch.setenv("FMI_D2S_SLICE_MAX_RRC", "4096")
+        np.testing.assert_array_equal(np.asarray(P.depth_to_space(x, r)),
+                                      np.asarray(ref))
+
+
 def test_conv1x1_w_grouped_matches():
     """conv1x1_w_grouped (kron(I_g, W) over fused w-cells) must equal the
     plain 1x1 conv exactly, incl. the gw % g fallback."""
