@@ -127,8 +127,11 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     # contiguous rc-wide lane slice of the packed channels ((w, b, ch) minor
     # order is ALREADY the unpacked order), and the h-interleave is a
     # major-dim stack whose rows move contiguously. Pure bandwidth (no MXU,
-    # no lane-starved conv emit); candidate for the tiny-c full-res unpacks.
-    slice_max = int(os.environ.get("FMI_D2S_SLICE_MAX_RRC", "0"))
+    # no lane-starved conv emit). Default 64 covers the tiny-c full-res
+    # unpacks (r2c3=12, r4c3=48) — on-chip A/B round 4: pSp 178.1 -> 180.2,
+    # GAN bs8 69.3 -> 69.6, flagship 225.1 -> 225.3 imgs/s; the r=2 c=64
+    # mid-synthesis site (depth 256) stays on the selection conv.
+    slice_max = int(os.environ.get("FMI_D2S_SLICE_MAX_RRC", "64"))
     if slice_max > 0 and r * r * c <= slice_max:
         y = x.reshape(n, hp, wp, r, r * c)
         z = jnp.stack([y[:, :, :, a, :] for a in range(r)], axis=2)
