@@ -448,16 +448,20 @@ def main():
     for mode_name in ("unet", "picnet_noatt", "psp", "gan_train"):
         env = {**os.environ, "BENCH_MODE": mode_name, "BENCH_ALL": "0"}
         env.pop("BENCH_BS", None)
+        out = None
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=1800)
+                capture_output=True, text=True, timeout=2400)
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             detail.append(json.loads(line))
         except Exception as e:
-            detail.append({"metric": _MODES[mode_name][0],
-                           "error": f"{type(e).__name__}: {e}"[:300]})
+            rec = {"metric": _MODES[mode_name][0],
+                   "error": f"{type(e).__name__}: {e}"[:300]}
+            if out is not None:  # keep the subprocess's own failure text
+                rec["stderr_tail"] = out.stderr[-1500:]
+            detail.append(rec)
         print(json.dumps(detail[-1]), flush=True)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
