@@ -64,7 +64,13 @@ def _packed_synth_max_ch() -> int:
 
     if os.environ.get("FMI_PACKED_SYNTH", "1") == "0":
         return 0
-    return int(os.environ.get("FMI_PACKED_SYNTH_MAX_CH", "64"))
+    # Default 32: only the 1024² stage (ch 32) packs. Packing the 512² stage
+    # too (threshold 64) LOSES on-chip — its packed conv_b
+    # ([16,256,256,256]⊛[3,3,256,256]) draws an XLA emitter tiling at 108
+    # TF/s vs the 182 the same-FLOP 1024²-stage form gets, and the 4×
+    # executed-FLOP inflation then outweighs the lane fill (r4 sweep @ bs16:
+    # max_ch 16 → 137.6 imgs/s, 32 → 188.3, 64 → 180.2).
+    return int(os.environ.get("FMI_PACKED_SYNTH_MAX_CH", "32"))
 
 
 def channels_for(size: int, channel_multiplier: int = 2) -> dict[int, int]:
@@ -528,7 +534,8 @@ class Generator(nn.Module):
         # 512²/1024² stages have 64/32 channels — lane-starved and
         # layout-copy-bound on TPU (measured ~11 ms/iter of pure relayout
         # copies at the config-4 bench, round 3). Stages whose channel count
-        # is <= the threshold run space-to-depth packed at r=2 (4x channels):
+        # is <= the threshold (default: the 1024² stage only, see
+        # _packed_synth_max_ch) run space-to-depth packed at r=2 (4x channels):
         # the upsample conv+blur is one fused stencil with zero FLOP
         # inflation, the 3x3 convs pay 4x executed FLOPs but run at MXU
         # peak, and the r=2-everywhere policy (depth_to_space between
