@@ -16,6 +16,23 @@ throughput for the flagship model (~210 GFLOPs/img forward + the 137
 GFLOP/img f32 Auto_Attn map at the ~30% utilization typical of eager torch
 convnets on A100 ≈ 440 imgs/s). vs_baseline = measured / (5 * 440).
 
+WHY vs_baseline SITS AT ~0.10 AND CANNOT REACH 1.0 ON ONE v5e: the 2200
+imgs/s target is physically unreachable for this model on this chip. The
+reference semantics fix the attention head dim at d=C/4=64
+(example_guided_att.py:30), which fills only half the MXU contraction
+depth; the measured per-op floor of the 16k-token attention alone is
+18.8-20.1 ms per bs16 step (ROUND4_NOTES item 1: PV matmul at 93% of its
+bf16 roofline, score matmul at its d=64 ceiling, and a combinatorial
+argument that symmetric-pair scheduling saves <=1.4 ms). Add the decoder
+convs at their measured 190 TF/s packed ceiling (~26 ms), the Output head
+form ceiling (6.4 ms) and the detector (~9 ms) and the step floor is 66-68
+ms ≈ 235-242 imgs/s @ bs16 — i.e. vs_baseline tops out near 0.11. The
+denominator's sensitivity: the 440 imgs/s A100 estimate assumes ~30% eager
+-torch utilization; if the reference really ran at, say, 15% (220 imgs/s),
+the same measurement would read vs_baseline ≈ 0.20. The measured MFU
+(0.40 on the flagship, honest model-FLOPs numerator) is the
+hardware-grounded figure of merit.
+
 Measurement notes: every loop CHAINS the model output back into the next
 input (x -> f(x)) — this box's remote-execution relay memoizes identical
 (executable, input-buffer) pairs, so same-args loops can read ~0 ms for

@@ -47,17 +47,36 @@ def _block(in_channel, depth, num_units, stride=2):
 
 
 def get_blocks(num_layers: int) -> list[list[BlockSpec]]:
-    """Layer specs (helpers.py:28-53)."""
+    """Layer specs (helpers.py:28-53).
+
+    num_layers=4 is a TPU-rebuild extra (not in the reference): one unit per
+    stage with the same channel ladder/strides, so the CI / driver dryrun can
+    compile the full pSp training-step semantics on a single CPU core without
+    paying for 24 bottleneck units."""
     if num_layers == 50:
         units = (3, 4, 14, 3)
     elif num_layers == 100:
         units = (3, 13, 30, 3)
     elif num_layers == 152:
         units = (3, 8, 36, 3)
+    elif num_layers == 4:  # tiny CI/dryrun spec (net-new, see docstring)
+        units = (1, 1, 1, 1)
     else:
         raise ValueError(f"Invalid number of layers: {num_layers}")
     chans = ((64, 64), (64, 128), (128, 256), (256, 512))
     return [_block(i, d, u) for (i, d), u in zip(chans, units)]
+
+
+def _tap_indices(num_layers: int) -> tuple[int, int, int]:
+    """Flat body indices of the last unit of stages 2/3/4 — the feature-
+    pyramid taps. For IR-50 this reproduces the reference's hard-coded
+    modulelist indices 6/20/23 (psp_encoders.py:104-112)."""
+    cum = 0
+    ends = []
+    for block in get_blocks(num_layers):
+        cum += len(block)
+        ends.append(cum - 1)
+    return ends[1], ends[2], ends[3]
 
 
 class SEModule(nn.Module):
@@ -232,8 +251,9 @@ class GradualStyleEncoder(nn.Module):
         """One IR-SE backbone pass -> (c1, c2, c3) pyramid taps. Jittable on
         its own; src and ref reuse the same compiled program."""
         h = self.input_layer(x, train=train)
-        _, taps = self.body(h, train=train, tap_indices=(6, 20, 23))
-        return taps[6], taps[20], taps[23]
+        t1, t2, t3 = _tap_indices(self.num_layers)
+        _, taps = self.body(h, train=train, tap_indices=(t1, t2, t3))
+        return taps[t1], taps[t2], taps[t3]
 
     def fuse_pyramid(self, src_taps, ref_taps=None, mask=None,
                      train: bool = False):

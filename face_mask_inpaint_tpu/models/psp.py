@@ -41,6 +41,12 @@ class PSP(nn.Module):
     start_from_latent_avg: bool = False
     learn_in_w: bool = False
     use_attention: bool = False
+    # Reference always uses 50 (psp_encoders.py); 4 is the TPU-rebuild tiny
+    # CI/dryrun spec (see irse.get_blocks).
+    num_layers: int = 50
+    # TPU-rebuild CI/dryrun knob: proportional StyleGAN2 width (see
+    # stylegan2.channels_for). Reference decoder is always 512-base.
+    decoder_base_channels: int = 512
     dtype: Dtype = jnp.float32
 
     @property
@@ -52,18 +58,21 @@ class PSP(nn.Module):
     def setup(self):
         if self.encoder_type == "GradualStyleEncoder":
             self.encoder = GradualStyleEncoder(
-                50, "ir_se", n_styles=self.n_styles,
+                self.num_layers, "ir_se", n_styles=self.n_styles,
                 use_attention=self.use_attention, dtype=self.dtype,
             )
         elif self.encoder_type == "BackboneEncoderUsingLastLayerIntoW":
-            self.encoder = BackboneEncoderUsingLastLayerIntoW(50, "ir_se", dtype=self.dtype)
+            self.encoder = BackboneEncoderUsingLastLayerIntoW(
+                self.num_layers, "ir_se", dtype=self.dtype)
         elif self.encoder_type == "BackboneEncoderUsingLastLayerIntoWPlus":
             self.encoder = BackboneEncoderUsingLastLayerIntoWPlus(
-                50, "ir_se", n_styles=self.n_styles, dtype=self.dtype
+                self.num_layers, "ir_se", n_styles=self.n_styles, dtype=self.dtype
             )
         else:
             raise ValueError(f"{self.encoder_type} is not a valid encoders")
-        self.decoder = Generator(self.output_size, 512, 8, dtype=self.dtype)
+        self.decoder = Generator(self.output_size, 512, 8,
+                                 base_channels=self.decoder_base_channels,
+                                 dtype=self.dtype)
         # average face latent (psp.py:124-130); zeros until loaded/computed.
         rep = 1 if self.learn_in_w else self.n_styles
         self.latent_avg = self.variable(

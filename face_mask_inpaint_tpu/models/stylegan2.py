@@ -73,15 +73,24 @@ def _packed_synth_max_ch() -> int:
     return int(os.environ.get("FMI_PACKED_SYNTH_MAX_CH", "32"))
 
 
-def channels_for(size: int, channel_multiplier: int = 2) -> dict[int, int]:
-    """Per-resolution channel table (model.py:398-408)."""
+def channels_for(size: int, channel_multiplier: int = 2,
+                 base_channels: int = 512) -> dict[int, int]:
+    """Per-resolution channel table (model.py:398-408).
+
+    base_channels is a TPU-rebuild extra (not in the reference, which fixes
+    the base at 512): it scales every entry proportionally so CI / the
+    driver dryrun can execute full pSp training-step SEMANTICS (DP psum,
+    encoder-only partitioning, frozen decoder) on a single CPU core without
+    paying 512-wide conv FLOPs. Production paths always use the default."""
+    scale = base_channels / 512
     return {
-        4: 512, 8: 512, 16: 512, 32: 512,
-        64: 256 * channel_multiplier,
-        128: 128 * channel_multiplier,
-        256: 64 * channel_multiplier,
-        512: 32 * channel_multiplier,
-        1024: 16 * channel_multiplier,
+        4: int(512 * scale), 8: int(512 * scale),
+        16: int(512 * scale), 32: int(512 * scale),
+        64: int(256 * channel_multiplier * scale),
+        128: int(128 * channel_multiplier * scale),
+        256: int(64 * channel_multiplier * scale),
+        512: int(32 * channel_multiplier * scale),
+        1024: int(16 * channel_multiplier * scale),
     }
 
 
@@ -390,6 +399,8 @@ class Generator(nn.Module):
     channel_multiplier: int = 2
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
+    # TPU-rebuild CI/dryrun knob (see channels_for); reference is always 512.
+    base_channels: int = 512
     dtype: Dtype = jnp.float32
 
     @property
@@ -405,7 +416,8 @@ class Generator(nn.Module):
         return self.log_size * 2 - 2
 
     def setup(self):
-        self.channels = channels_for(self.size, self.channel_multiplier)
+        self.channels = channels_for(self.size, self.channel_multiplier,
+                                     self.base_channels)
         self.style = [
             EqualLinear(
                 self.style_dim, lr_mul=self.lr_mlp, activation="fused_lrelu",

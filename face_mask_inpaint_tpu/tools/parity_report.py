@@ -166,6 +166,133 @@ def activation_parity(npz_path: str, converted: dict, report: dict) -> None:
                 "status": "error", "error": f"{type(e).__name__}: {e}"}
 
 
+def _load_fixture(path: str):
+    """Split a fixture .npz into (torch-layout state dict, inputs, outputs)
+    per the key convention of tests/fixtures/make_parity_fixtures.py."""
+    data = np.load(path)
+    sd = {k[3:]: np.asarray(data[k]) for k in data.files if k.startswith("sd:")}
+    ins = {k[3:]: np.asarray(data[k]) for k in data.files if k.startswith("in:")}
+    outs = {k[4:]: np.asarray(data[k]) for k in data.files if k.startswith("out:")}
+    return sd, ins, outs
+
+
+def _fixture_styled_conv_up(sd, ins):
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.models.stylegan2 import StyledConv
+    from face_mask_inpaint_tpu.tools import convert_torch as ct
+
+    params = jax.tree.map(jnp.asarray, ct._styled_conv(sd, "blk"))
+    cout, k = sd["blk.conv.weight"].shape[1], sd["blk.conv.weight"].shape[3]
+    got = StyledConv(cout, k, upsample=True).apply(
+        {"params": params},
+        jnp.asarray(ins["x"].transpose(0, 2, 3, 1)),
+        jnp.asarray(ins["style"]),
+        noise=jnp.asarray(ins["noise"].transpose(0, 2, 3, 1)))
+    return np.asarray(got).transpose(0, 3, 1, 2)
+
+
+def _fixture_irse_bottleneck(sd, ins):
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.models.irse import BottleneckIR
+    from face_mask_inpaint_tpu.tools import convert_torch as ct
+
+    params, stats = ct._split_bn(ct._irse_unit(sd, "unit"))
+    variables = jax.tree.map(
+        jnp.asarray, {"params": params, "batch_stats": stats})
+    depth = sd["unit.res_layer.1.weight"].shape[0]
+    got = BottleneckIR(depth=depth, stride=2, use_se=True).apply(
+        variables, jnp.asarray(ins["x"].transpose(0, 2, 3, 1)), train=False)
+    return np.asarray(got).transpose(0, 3, 1, 2)
+
+
+def _fixture_vgg_block1(sd, ins):
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.nn.layers import Conv2d
+    from face_mask_inpaint_tpu.tools import convert_torch as ct
+
+    # same index->name mapping as convert_vgg16_features' first block
+    params = {
+        name: {"kernel": ct.conv_w(sd[f"features.{idx}.weight"]),
+               "bias": sd[f"features.{idx}.bias"]}
+        for name, idx in (("conv1_1", 0), ("conv1_2", 2))}
+
+    class _Block1(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = jax.nn.relu(Conv2d(64, 3, padding=1, name="conv1_1")(x))
+            return jax.nn.relu(Conv2d(64, 3, padding=1, name="conv1_2")(x))
+
+    got = _Block1().apply({"params": jax.tree.map(jnp.asarray, params)},
+                          jnp.asarray(ins["x"].transpose(0, 2, 3, 1)))
+    return np.asarray(got).transpose(0, 3, 1, 2)
+
+
+def _fixture_lpips_lin(sd, ins):
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.losses.lpips import _normalize_activation
+    from face_mask_inpaint_tpu.tools import convert_torch as ct
+
+    total = jnp.float32(0.0)
+    i = 0
+    while f"feat{i}_a" in ins:
+        a = jnp.asarray(ins[f"feat{i}_a"].transpose(0, 2, 3, 1))
+        b = jnp.asarray(ins[f"feat{i}_b"].transpose(0, 2, 3, 1))
+        kern = jnp.asarray(ct.conv_w(sd[f"lin.{i}.1.weight"]))  # [1,1,c,1]
+        d = (_normalize_activation(a) - _normalize_activation(b)) ** 2
+        lin = jnp.einsum("nhwc,c->nhw", d, kern[0, 0, :, 0])
+        total = total + jnp.sum(jnp.mean(lin, axis=(1, 2))) / a.shape[0]
+        i += 1
+    return np.asarray(total)
+
+
+_FIXTURE_RUNNERS = {
+    "styled_conv_up": _fixture_styled_conv_up,
+    "irse_bottleneck": _fixture_irse_bottleneck,
+    "vgg_block1": _fixture_vgg_block1,
+    "lpips_lin": _fixture_lpips_lin,
+}
+
+# committed fixtures live here; --module_fixtures overrides
+DEFAULT_FIXTURE_DIR = os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "..", "tests", "fixtures", "parity"))
+
+
+def module_fixture_parity(fix_dir: str, report: dict) -> None:
+    """Per-module max-abs diff vs the committed recorded-torch fixtures
+    (tests/fixtures/parity/*.npz) — the asset-free counterpart of
+    activation_parity. Populates report['module_fixtures']."""
+    out = report.setdefault("module_fixtures", {})
+    for name, runner in _FIXTURE_RUNNERS.items():
+        path = os.path.join(fix_dir, f"{name}.npz")
+        if not os.path.exists(path):
+            out[name] = {"status": "fixture missing", "path": path}
+            continue
+        try:
+            sd, ins, outs = _load_fixture(path)
+            got = runner(sd, ins)
+            want = outs["y"] if "y" in outs else outs["distance"]
+            diff = np.abs(got.astype(np.float64) - want.astype(np.float64))
+            denom = np.maximum(np.abs(want.astype(np.float64)), 1e-3)
+            out[name] = {
+                "status": "ok",
+                "max_abs_diff": float(diff.max()),
+                "max_rel_diff": float((diff / denom).max()),
+                "mean_abs_diff": float(diff.mean()),
+            }
+        except Exception as e:
+            out[name] = {"status": "error",
+                         "error": f"{type(e).__name__}: {e}"}
+
+
 _REPO_ROOT = os.path.abspath(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 

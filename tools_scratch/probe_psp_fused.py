@@ -1,0 +1,150 @@
+"""Can the relay compile the FUSED pSp pipeline now (r5, post style-scan +
+packed-synthesis HLO shrink)? If yes, the pSp bench becomes wall-clock
+fenceable (VERDICT r4 item 3).
+
+Stages (env PROBE_STAGE):
+  fused1   detector + full PSP.__call__ (encoder+decoder) in ONE jit
+  fused2   program A = detector+encode (both backbones+fusion+styles),
+           program B = decode; chained wall-clock
+Measures compile seconds and then fenced wall-clock imgs/s (chained inputs).
+Run on the real chip: python tools_scratch/probe_psp_fused.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from face_mask_inpaint_tpu.models.psp import PSP
+from face_mask_inpaint_tpu.models.unet import MaskDetector
+
+t00 = time.monotonic()
+
+
+def P(msg):
+    print(f"[+{time.monotonic() - t00:7.1f}s] {msg}", flush=True)
+
+
+def main():
+    stage = os.environ.get("PROBE_STAGE", "fused1")
+    bs = int(os.environ.get("PROBE_BS", "16"))
+    hw = 256
+    dtype = jnp.bfloat16
+    model = PSP(output_size=1024, use_attention=True, dtype=dtype)
+    det = MaskDetector(dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(0)
+    src = jnp.asarray(rs.rand(bs, hw, hw, 3) * 2 - 1, jnp.float32)
+    ref = jnp.asarray(rs.rand(bs, hw, hw, 3) * 2 - 1, jnp.float32)
+    dev = jax.devices()[0]
+    P(f"platform={dev.platform} stage={stage} bs={bs}")
+
+    mask0 = jnp.zeros((bs, hw, hw), jnp.float32)
+    md_shapes = jax.eval_shape(det.init, key, (src + 1) / 2)
+    vs_shapes = jax.eval_shape(
+        lambda k, a, b, m: model.init(
+            {"params": k, "noise": k}, a, ref=b, src_mask=m, train=False),
+        key, src, ref, mask0)
+    fill = np.random.RandomState(2)
+
+    def _host_fill(tree):
+        import flax.traverse_util as tu
+
+        def leaf(path, s):
+            name = path[-1]
+            if name in ("var", "scale"):
+                return np.ones(s.shape, s.dtype)
+            if name in ("mean", "bias"):
+                return np.zeros(s.shape, s.dtype)
+            fan_in = int(np.prod(s.shape[:-1])) if len(s.shape) > 1 else 1
+            return (fill.randn(*s.shape) / np.sqrt(max(fan_in, 1))).astype(s.dtype)
+
+        flat = tu.flatten_dict(tree)
+        filled = tu.unflatten_dict({k: leaf(k, v) for k, v in flat.items()})
+        return jax.device_put(filled, dev)
+
+    md_vars = _host_fill(md_shapes)
+    vs = _host_fill(vs_shapes)
+    P("params filled + on device")
+
+    if stage == "fused1":
+        def fwd(v, mv, s, r):
+            m = det.apply(mv, (s + 1) / 2, method=MaskDetector.predict_mask)
+            gen = model.apply(v, s, ref=r, src_mask=m, resize=False,
+                              randomize_noise=False, train=False)
+            return jnp.clip(gen, -1.0, 1.0)
+
+        fn = jax.jit(fwd)
+        t0 = time.monotonic()
+        lowered = fn.lower(vs, md_vars, src, ref)
+        P(f"lowered in {time.monotonic() - t0:.1f}s")
+        t0 = time.monotonic()
+        compiled = lowered.compile()
+        P(f"COMPILED in {time.monotonic() - t0:.1f}s")
+
+        def step(x):
+            out = compiled(vs, md_vars, x, ref)
+            # chain: 1024->256 crop back as next source, keep inputs fresh
+            return jnp.nan_to_num(out[:, ::4, ::4, :]) * 0.9 + x * 0.1
+
+    elif stage == "fused2":
+        def enc_fwd(v, mv, s, r):
+            m = det.apply(mv, (s + 1) / 2, method=MaskDetector.predict_mask)
+            return model.apply(v, s, ref=r, src_mask=m, train=False,
+                               method=PSP.encode)
+
+        def dec_fwd(v, codes):
+            return jnp.clip(model.apply(
+                v, codes, resize=False, randomize_noise=False,
+                method=PSP.decode), -1.0, 1.0)
+
+        t0 = time.monotonic()
+        enc = jax.jit(enc_fwd).lower(vs, md_vars, src, ref).compile()
+        P(f"encoder COMPILED in {time.monotonic() - t0:.1f}s")
+        t0 = time.monotonic()
+        codes_shape = jax.eval_shape(enc_fwd, vs_shapes, md_shapes, src, ref)
+        dec = jax.jit(dec_fwd).lower(
+            vs, jnp.zeros(codes_shape.shape, codes_shape.dtype)).compile()
+        P(f"decoder COMPILED in {time.monotonic() - t0:.1f}s")
+
+        def step(x):
+            out = dec(vs, enc(vs, md_vars, x, ref))
+            return jnp.nan_to_num(out[:, ::4, ::4, :]) * 0.9 + x * 0.1
+    else:
+        raise SystemExit(f"unknown stage {stage}")
+
+    x = step(src)
+    jax.block_until_ready(x)
+    P("first step done")
+    for _ in range(3):
+        x = step(x)
+    jax.block_until_ready(x)
+    P("warmup done")
+    steps = int(os.environ.get("PROBE_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = step(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / steps
+    P(f"WALL-CLOCK {bs / dt:.2f} imgs/s ({dt * 1e3:.2f} ms/step, fenced "
+      f"once at loop end, chained inputs)")
+    # per-iteration fence (the honest-side variant bench_psp used)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = step(x)
+        jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / steps
+    P(f"WALL-CLOCK per-iter-fenced {bs / dt:.2f} imgs/s ({dt * 1e3:.2f} ms)")
+
+
+if __name__ == "__main__":
+    main()
