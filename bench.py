@@ -246,60 +246,52 @@ def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
     md_vars = _host_fill(md_shapes)
     vs = _host_fill(vs_shapes)
 
-    # SEVEN small programs (detector / backbone taps / fusion+FPN / three
-    # style levels / finalize+decoder): the fused pipeline — and even the
-    # combined fusion+styles graph — stalls or crashes this box's remote
-    # AOT compile helper, while the same math in pieces compiles in seconds
-    # (ROUND2_NOTES); the backbone program compiles ONCE for src and ref.
+    # ONE fused jit program (round 5; the round-2/3 remote-AOT stall that
+    # forced a 7-program chain is gone after the style-scan + packed-
+    # synthesis HLO shrink — the fused graph compiles in ~30 s). The src
+    # and ref images run the IR-SE backbone as ONE batched 2N pass
+    # (bit-identical at eval: BN running stats, elementwise PReLU/SE).
     # Params are jit ARGUMENTS, not closures: closed-over trees embed as
     # constants in the serialized program and blow the relay's request-size
     # limit (HTTP 413) / upload minutes of payload per compile.
-    mdf = jax.jit(lambda v, s: det.apply(
-        v, (s + 1) / 2, method=MaskDetector.predict_mask))
-    taps = jax.jit(lambda v, img: model.apply(
-        v, img, train=False, method=PSP.encode_taps))
-    pyramid = jax.jit(lambda v, st, rt, m: model.apply(
-        v, st, rt, m, train=False, method=PSP.encode_pyramid))
-    levels = [
-        jax.jit(lambda v, x, _l=lvl: model.apply(
-            v, _l, x, method=PSP.encode_styles_level))
-        for lvl in range(3)
-    ]
-    dec = jax.jit(lambda v, c0, c1, c2: jnp.clip(model.apply(
-        v, method=lambda m, a, b, cc: m.decode(
-            m.finalize_codes(a, b, cc), randomize_noise=False),
-        a=c0, b=c1, cc=c2), -1.0, 1.0))
+    def fused(v, mv, s, r, salt):
+        m = det.apply(mv, (s + 1) / 2, method=MaskDetector.predict_mask)
+        both = model.apply(v, jnp.concatenate([s, r], axis=0), train=False,
+                           method=PSP.encode_taps)
+        src_taps = tuple(t[:batch_size] for t in both)
+        ref_taps = tuple(t[batch_size:] for t in both)
+        codes = model.apply(v, src_taps, ref_taps, m, train=False,
+                            method=PSP.encode_from_taps)
+        out = jnp.clip(model.apply(
+            v, codes, resize=False, randomize_noise=False,
+            method=PSP.decode), -1.0, 1.0)
+        # chain inside the program: next source = corner crop of the output
+        # (contiguous slice, ~free) mixed with the current source, plus a
+        # per-iteration salt scalar so every (executable, inputs) pair is
+        # unique — random weights NaN the deep synthesis stack, NaN chains
+        # collide bitwise, and the relay memoizes identical pairs
+        nxt = (jnp.nan_to_num(out[:, :hw, :hw, :]) * 0.9 + s * 0.1 + salt)
+        return nxt
 
-    san = jax.jit(lambda img, base: jnp.clip(
-        jnp.nan_to_num(img) + jnp.roll(base, 1, axis=2), -1.0, 1.0))
+    step_fn = jax.jit(fused)
+    it = iter(range(1, 10 ** 9))
 
-    def step(src_img):
-        c3, p2, p1 = pyramid(vs, taps(vs, src_img), taps(vs, ref),
-                             mdf(md_vars, src_img))
-        out = dec(vs, levels[0](vs, c3), levels[1](vs, p2),
-                  levels[2](vs, p1))
-        # random weights can NaN the deep synthesis stack; NaN chains are
-        # bitwise-identical across iterations and let the relay shortcut —
-        # sanitize and mix in the previous input so every batch is fresh
-        return san(out, src_img)
+    def step(x):
+        return step_fn(vs, md_vars, x, ref, jnp.float32(next(it) * 1e-4))
 
-    # per-iteration block_until_ready: on this box's relay, blocking only on
-    # the FINAL value of a multi-program chain returns without waiting for
-    # the intermediate executables (measured 760+ "imgs/s" vs 92 ms/batch
-    # when each iteration is fenced) — fence every step; the lost
-    # dispatch/device overlap undercounts slightly, which is the honest side
     x = step(src)
     jax.block_until_ready(x)
     for _ in range(3):
         x = step(x)
         jax.block_until_ready(x)
-    # DEVICE-OCCUPANCY throughput, from a profiled window: wall-clock through
-    # this box's remote relay CANNOT be fenced for a multi-program chain
-    # (block_until_ready returns before the intermediate executables run, and
-    # the constant-ref taps program is legitimately memoized), so a wall-time
-    # loop reads 3-25x too fast depending on relay mood (round-2 recorded
-    # 1059 imgs/s that way — above chip peak). The hardware-derived per-op
-    # durations are the honest denominator: images / summed device time.
+    # DEVICE-OCCUPANCY throughput from a profiled window of the ONE fused
+    # program: wall-clock through this box's remote relay cannot be fenced
+    # (block_until_ready returns before execution — measured 0.9 ms/step
+    # "wall" vs 88 ms of device time/step even for this single program with
+    # per-iteration-unique inputs; round-2 recorded 1059 imgs/s that way).
+    # With a single program and salted inputs, every dispatched step must
+    # execute exactly once on the device, so images / summed device-op time
+    # over the window is the honest hardware-derived rate.
     import tempfile
 
     from face_mask_inpaint_tpu.tools.trace_top import device_op_time_s
@@ -444,9 +436,12 @@ def main():
                 + "-mixed (f32 params/opt/stats/reductions)"
         if mode == "psp":
             rec["method"] = (
-                "device-occupancy (images / summed device op time from a "
-                "profiled window); wall-clock through the remote relay "
-                "cannot be fenced for the multi-program chain")
+                "device-occupancy over a profiled window of ONE fused jit "
+                "program with per-iteration-salted inputs (every dispatch "
+                "must execute exactly once); wall-clock cannot be fenced on "
+                "this box's relay even for a single program — "
+                "block_until_ready returns in ~1 ms while the trace shows "
+                "~85 ms of device time/step")
         print(json.dumps(_with_mfu(rec)))
         return
 

@@ -29,6 +29,7 @@ Layout: NHWC. Style vectors: [N, 512].
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -384,6 +385,16 @@ class ToRGB(nn.Module):
                 assert 2 * skip_pack_in == pack_in, (skip_pack_in, pack_in)
                 skip = packed_skip_upsample(
                     skip, skip_pack_in, blur_taps=tuple(self.blur_kernel))
+            elif (skip.shape[1] * skip.shape[2] >= 128 * 128
+                  and os.environ.get("FMI_SKIP_UP_VPU", "1") == "1"):
+                # same FIR as upsample_2d, but as VPU shifted adds on the
+                # packed grid + the slice+stack unpack (rrc=12): the conv
+                # form's 12-lane emit measured 1.2 ms/step at the 256²->512²
+                # site for ~0.1 ms of bandwidth (round-5 pSp trace)
+                from face_mask_inpaint_tpu.ops.packed import (
+                    depth_to_space, packed_skip_upsample as _psu)
+                skip = depth_to_space(
+                    _psu(skip, 1, blur_taps=tuple(self.blur_kernel)), 2)
             else:
                 skip = upsample_2d(skip, make_kernel(self.blur_kernel), factor=2)
             out = out + skip

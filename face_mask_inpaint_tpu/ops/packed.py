@@ -458,12 +458,37 @@ def _skip_up_kernel_np(r_in: int, blur_taps: tuple, gain: float) -> np.ndarray:
 def packed_skip_upsample(x: jax.Array, r_in: int,
                          blur_taps=(1, 3, 3, 1)) -> jax.Array:
     """ToRGB skip upsample (upsample_2d, factor 2) on the packed form:
-    [N, G, G, r²C] -> [N, G, G, (2r)²C], per-channel FIR."""
+    [N, G, G, r²C] -> [N, G, G, (2r)²C], per-channel FIR.
+
+    FMI_SKIP_UP_VPU (default 1): at r_in=1 (the only live site at the
+    default packing — the 1024² ToRGB's 512²x3 skip) the per-channel FIR
+    runs as shifted scaled adds on the VPU instead of a selection conv:
+    the conv form funnels a 27-deep contraction into 12 of 128 output
+    lanes and measured 3.62 ms/step at the pSp bs16 bench for ~0.16 ms of
+    actual bandwidth (round-5 fused-program trace, convolution_add_fusion).
+    Coefficients come from the same _skip_up_kernel_np stencil, so the math
+    is the conv form's, term for term."""
+    import os
+
     n, g1, g2, cc = x.shape
     c = cc // (r_in * r_in)
-    sk = jnp.asarray(_skip_up_kernel_np(r_in, tuple(blur_taps), 4.0),
-                     jnp.float32)
-    wp = jnp.einsum("swPQ,cd->swPcQd", sk, jnp.eye(c, dtype=jnp.float32))
+    sk = _skip_up_kernel_np(r_in, tuple(blur_taps), 4.0)
+    if r_in == 1 and os.environ.get("FMI_SKIP_UP_VPU", "1") == "1":
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        outs = []
+        for q in range(4):
+            acc = None
+            for s in range(3):
+                for t in range(3):
+                    coef = float(sk[s, t, 0, q])
+                    if coef == 0.0:
+                        continue
+                    term = coef * xp[:, s:s + g1, t:t + g2, :]
+                    acc = term if acc is None else acc + term
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=-1).astype(x.dtype)
+    wp = jnp.einsum("swPQ,cd->swPcQd", jnp.asarray(sk),
+                    jnp.eye(c, dtype=jnp.float32))
     wp = wp.reshape(3, 3, r_in * r_in * c, (2 * r_in) ** 2 * c)
     return conv2d(x, wp.astype(x.dtype), None, padding=1)
 

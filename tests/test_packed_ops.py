@@ -512,3 +512,46 @@ def test_packed_channel_scale_flat_matches_5d():
                 * s[:, None, None, None, :].astype(jnp.bfloat16)
                 ).reshape(n, g1, g2, cc)
         assert jnp.array_equal(gotb, refb), (r, c, "bf16")
+
+
+def test_skip_upsample_vpu_matches_conv(monkeypatch):
+    """FMI_SKIP_UP_VPU: the shifted-adds skip upsample (r_in=1) must match
+    the selection-conv form (same _skip_up_kernel_np stencil, reordered
+    summation -> tight allclose, exact in f32)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.ops import packed as P
+
+    rng = np.random.RandomState(21)
+    x = jnp.asarray(rng.randn(2, 12, 10, 3).astype(np.float32))
+    monkeypatch.setenv("FMI_SKIP_UP_VPU", "0")
+    ref = P.packed_skip_upsample(x, 1)
+    monkeypatch.setenv("FMI_SKIP_UP_VPU", "1")
+    got = P.packed_skip_upsample(x, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_torgb_unpacked_skip_vpu_matches(monkeypatch):
+    """The unpacked ToRGB skip branch (VPU FIR + slice/stack unpack) must
+    match the upsample_2d conv form at the >=128x128 gate size."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.models.stylegan2 import ToRGB
+
+    rng = np.random.RandomState(22)
+    x = jnp.asarray(rng.randn(1, 256, 256, 8).astype(np.float32))
+    style = jnp.asarray(rng.randn(1, 32).astype(np.float32))
+    skip = jnp.asarray(rng.randn(1, 128, 128, 3).astype(np.float32))
+    m = ToRGB(upsample=True)
+    variables = m.init(jax.random.PRNGKey(0), x, style, skip)
+    monkeypatch.setenv("FMI_SKIP_UP_VPU", "0")
+    ref = m.apply(variables, x, style, skip)
+    monkeypatch.setenv("FMI_SKIP_UP_VPU", "1")
+    got = m.apply(variables, x, style, skip)
+    assert got.shape == (1, 256, 256, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

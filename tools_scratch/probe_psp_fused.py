@@ -83,18 +83,34 @@ def main():
                               randomize_noise=False, train=False)
             return jnp.clip(gen, -1.0, 1.0)
 
-        fn = jax.jit(fwd)
+        # salt: a per-iteration scalar argument makes every (executable,
+        # inputs) pair unique — the relay memoizes identical pairs, and the
+        # chained inputs converge/NaN into identical buffers without it
+        # (first run of this probe read 5606 imgs/s ≈ 1265 TF/s, impossible)
+        def fwd_salted(v, mv, s, r, salt):
+            out = fwd(v, mv, s, r)
+            return jnp.nan_to_num(out[:, ::4, ::4, :]) * 0.9 + s * 0.1 + salt
+
+        fn = jax.jit(fwd_salted)
         t0 = time.monotonic()
-        lowered = fn.lower(vs, md_vars, src, ref)
+        lowered = fn.lower(vs, md_vars, src, ref, jnp.float32(0))
         P(f"lowered in {time.monotonic() - t0:.1f}s")
         t0 = time.monotonic()
         compiled = lowered.compile()
         P(f"COMPILED in {time.monotonic() - t0:.1f}s")
 
+        it = iter(range(1, 10 ** 6))
+
+        # time through the JIT dispatch path, not the AOT callable: on this
+        # box block_until_ready does NOT fence AOT-compiled callables (first
+        # AOT step returned in ~0 s while the trace shows 88 ms of device
+        # time), but jit dispatch does fence (flagship bench + round-2 pSp
+        # per-iter measurements both read plausible wall-clock through it).
+        use_aot = os.environ.get("PROBE_AOT") == "1"
+
         def step(x):
-            out = compiled(vs, md_vars, x, ref)
-            # chain: 1024->256 crop back as next source, keep inputs fresh
-            return jnp.nan_to_num(out[:, ::4, ::4, :]) * 0.9 + x * 0.1
+            f = compiled if use_aot else fn
+            return f(vs, md_vars, x, ref, jnp.float32(next(it) * 1e-4))
 
     elif stage == "fused2":
         def enc_fwd(v, mv, s, r):
@@ -144,6 +160,19 @@ def main():
         jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / steps
     P(f"WALL-CLOCK per-iter-fenced {bs / dt:.2f} imgs/s ({dt * 1e3:.2f} ms)")
+    # device-occupancy cross-check (the method the round-4 bench recorded)
+    import tempfile
+    from face_mask_inpaint_tpu.tools.trace_top import device_op_time_s
+    tdir = tempfile.mkdtemp(prefix="psp_fused_trace_")
+    n_prof = 4
+    with jax.profiler.trace(tdir, create_perfetto_trace=True):
+        for _ in range(n_prof):
+            x = step(x)
+            jax.block_until_ready(x)
+    dev_s = device_op_time_s(tdir)
+    if dev_s > 0:
+        P(f"DEVICE-OCCUPANCY {bs * n_prof / dev_s:.2f} imgs/s "
+          f"({dev_s / n_prof * 1e3:.2f} ms device time/step) trace={tdir}")
 
 
 if __name__ == "__main__":
