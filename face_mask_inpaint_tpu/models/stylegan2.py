@@ -266,6 +266,20 @@ class ModulatedConv2d(nn.Module):
             bk = make_kernel(self.blur_kernel)
             out = blur(xs, bk, pad=(pad0, pad1))
             out = conv2d(out, wd, stride=2, padding=0)
+        elif (k == 1 and self.out_channel <= 8
+              and xs.shape[1] * xs.shape[2] >= 128 * 128
+              and int(_os.environ.get("FMI_TORGB_1X1_GROUP", "1")) > 1):
+            # unpacked ToRGB 1x1: co=3 fills 3 of 128 output lanes — the
+            # 512² site measured 2.24 ms/step at the pSp bs16 bench for
+            # ~0.36 ms of bandwidth (round-5 fused trace, fusion.112).
+            # Group g adjacent pixels into one matmul row (kron(I_g, W)).
+            # Measured LOSING at g=16 (84.6 -> 90.3 ms/step: the reshape
+            # breaks the modulation/bias/skip epilogue fusion and every
+            # to_rgb site regressed) — default off, kept for the record.
+            from face_mask_inpaint_tpu.ops.packed import conv1x1_w_grouped
+
+            out = conv1x1_w_grouped(
+                xs, wd, int(_os.environ.get("FMI_TORGB_1X1_GROUP", "1")))
         else:
             out = conv2d(xs, wd, padding=k // 2)
 

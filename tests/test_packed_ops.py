@@ -555,3 +555,25 @@ def test_torgb_unpacked_skip_vpu_matches(monkeypatch):
     assert got.shape == (1, 256, 256, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_torgb_unpacked_1x1_grouped_matches(monkeypatch):
+    """FMI_TORGB_1X1_GROUP: the grouped unpacked ToRGB 1x1 (>=128² maps)
+    must match the plain conv."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from face_mask_inpaint_tpu.models.stylegan2 import ToRGB
+
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(1, 128, 128, 8).astype(np.float32))
+    style = jnp.asarray(rng.randn(1, 32).astype(np.float32))
+    m = ToRGB(upsample=False)
+    variables = m.init(jax.random.PRNGKey(0), x, style)
+    monkeypatch.setenv("FMI_TORGB_1X1_GROUP", "1")
+    ref = m.apply(variables, x, style)
+    monkeypatch.setenv("FMI_TORGB_1X1_GROUP", "16")
+    got = m.apply(variables, x, style)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
