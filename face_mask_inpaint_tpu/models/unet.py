@@ -140,7 +140,7 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True,
-                 pack: int = 1) -> jax.Array:
+                 pack: int = 1, diff_head: bool = False) -> jax.Array:
         """pack == 2 runs the full-resolution stages (inc, up4, outc) on a
         space-to-depth packed layout — identical math (packed convs build
         their kernels from the same weights; BatchNorm runs on a reshaped
@@ -174,6 +174,18 @@ class UNet(nn.Module):
         y = Up(128 // factor, self.bilinear, dtype=self.dtype, name="up3")(y, x2, train=train)
         y = Up(64, self.bilinear, dtype=self.dtype, name="up4")(
             y, x1, train=train, pack_skip=pack)
+        if diff_head:
+            # two-class decision head: logits[1] - logits[0] as ONE
+            # channel-reduce (same outc params) instead of the 2-channel 1x1
+            # conv — the [N, 256, 256, 2] output lands in a T(2,128) layout
+            # that pads 2 lanes to 128 (measured 1.10 ms/step at bs16 for
+            # ~0.2 ms of bandwidth, round-5 flagship trace, fusion.46)
+            assert pack == 1 and self.n_classes == 2
+            w, b = Conv2d(self.n_classes, 1, dtype=self.dtype, name="outc")(
+                y, return_weights=True)
+            dw = (w[0, 0, :, 1] - w[0, 0, :, 0]).astype(y.dtype)
+            db = (b[1] - b[0]).astype(y.dtype)
+            return jnp.einsum("nhwc,c->nhw", y, dw) + db
         return Conv2d(self.n_classes, 1, dtype=self.dtype, name="outc")(
             y, pack=pack)
 
@@ -196,11 +208,12 @@ class MaskDetector(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, mode: str = "train",
-                 train: bool = False, pack: int = 1):
+                 train: bool = False, pack: int = 1, diff_head: bool = False):
         """pack > 1 (mode='train' only): run the UNet's packed execution and
-        return PACKED logits [N, H/r, W/r, r²·2] (predict_mask consumes)."""
+        return PACKED logits [N, H/r, W/r, r²·2] (predict_mask consumes).
+        diff_head (mode='train' only): [N, H, W] logits[1]-logits[0]."""
         logits = UNet(2, self.bilinear, dtype=self.dtype, name="model")(
-            image, train=train, pack=pack
+            image, train=train, pack=pack, diff_head=diff_head
         )
         if mode == "train":
             return logits
@@ -225,6 +238,13 @@ class MaskDetector(nn.Module):
         pack = (2 if image.shape[1] % 2 == 0 and image.shape[2] % 2 == 0
                 and self.bilinear
                 and os.environ.get("FMI_PACKED_UNET") == "1" else 1)
+        if pack == 1 and os.environ.get("FMI_UNET_DIFF_HEAD", "1") == "1":
+            # one-channel decision head (logits[1]-logits[0] as a channel
+            # reduce, same outc params): identical decision except at
+            # float-rounding near-ties on the mask boundary; skips the
+            # 2-lane padded [N, H, W, 2] intermediate (see UNet.__call__)
+            d = self(image, mode="train", train=False, diff_head=True)
+            return (d > 0).astype(jnp.float32)
         logits = self(image, mode="train", train=False, pack=pack)
         if pack == 1:
             return (logits[..., 1] > logits[..., 0]).astype(jnp.float32)

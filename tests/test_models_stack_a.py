@@ -161,3 +161,24 @@ def test_drn_c42_stride_8():
     vs = m.init(KEY, x, train=False)
     y = m.apply(vs, x, train=False)
     assert y.shape == (1, 8, 8, 16)
+
+
+def test_unet_diff_head_matches_two_logit(monkeypatch):
+    """FMI_UNET_DIFF_HEAD: the one-channel decision head (logits[1]-logits[0]
+    as a channel reduce, same outc params) must agree with the two-logit
+    compare (exact in f32 away from ties; random data has none)."""
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3), jnp.float32)
+    det = MaskDetector()
+    vs = det.init(KEY, x)
+    d = det.apply(vs, x, diff_head=True)
+    logits = det.apply(vs, x)
+    assert d.shape == (2, 32, 32)
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(logits[..., 1] - logits[..., 0]),
+        rtol=1e-4, atol=1e-5)
+    monkeypatch.setenv("FMI_UNET_DIFF_HEAD", "1")
+    m_diff = det.apply(vs, x, method=MaskDetector.predict_mask)
+    monkeypatch.setenv("FMI_UNET_DIFF_HEAD", "0")
+    m_two = det.apply(vs, x, method=MaskDetector.predict_mask)
+    assert float(jnp.mean(m_diff == m_two)) > 0.999
