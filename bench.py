@@ -34,10 +34,16 @@ the same measurement would read vs_baseline ≈ 0.20. The measured MFU
 hardware-grounded figure of merit.
 
 Measurement notes: every loop CHAINS the model output back into the next
-input (x -> f(x)) — this box's remote-execution relay memoizes identical
-(executable, input-buffer) pairs, so same-args loops can read ~0 ms for
-small programs (ROUND1_NOTES item 4). Env knobs: BENCH_BS, BENCH_STEPS,
-BENCH_SWEEP=1 (batch sweep; each size pays a fresh XLA compile).
+input (x -> f(x)) with a per-iteration salt scalar — this box's remote-
+execution relay memoizes identical (executable, input-buffer) pairs
+(ROUND1_NOTES item 4), and salting makes every pair unique. The relay can
+also stop fencing entirely (block_until_ready returns before execution:
+round 5 caught the flagship wall-clock loop at 725k imgs/s ≈ 6x chip
+peak), so every TPU config reports through _robust_rate: wall-clock when
+it is physically consistent (>= the traced device-op time per step), else
+the device-occupancy rate from a profiled window — the record's "method"
+field says which. Env knobs: BENCH_BS, BENCH_STEPS, BENCH_SWEEP=1 (batch
+sweep; each size pays a fresh XLA compile).
 """
 
 import json
@@ -90,6 +96,54 @@ def _chain_time(step, x0, steps, warmup=3):
     return (time.perf_counter() - t0) / steps
 
 
+def _occupancy_time(step, x0, n_prof=4):
+    """Secs/step from summed device-op time over a profiled window.
+
+    The relay-proof ground truth: this box's remote relay sometimes stops
+    fencing entirely — block_until_ready returns before execution, and a
+    wall-clock chain loop reads thousands of imgs/s (round-5 caught the
+    flagship config at 725k imgs/s ≈ 1.3 PFLOP/s, 6x chip peak). Device-op
+    durations are hardware-derived. Drain sleeps bracket the window so
+    pre-window dispatches cannot spill device work into it and the last
+    window dispatches land inside it (device_op_time_s sums op durations
+    only, so idle tail adds nothing). Returns None when no trace is
+    produced (non-TPU backends)."""
+    import tempfile
+
+    from face_mask_inpaint_tpu.tools.trace_top import device_op_time_s
+
+    x = step(x0)
+    jax.block_until_ready(x)
+    time.sleep(5.0)  # drain any unfenced in-flight work
+    tdir = tempfile.mkdtemp(prefix="bench_occ_trace_")
+    with jax.profiler.trace(tdir, create_perfetto_trace=True):
+        for _ in range(n_prof):
+            x = step(x)
+            jax.block_until_ready(x)
+        time.sleep(5.0)  # let the window's device work complete in-window
+    dev_s = device_op_time_s(tdir)
+    # returns the chained value too: donated-argument steps (gan_train)
+    # cannot re-consume x0
+    return (dev_s / n_prof if dev_s > 0 else None), x
+
+
+def _robust_rate(step, x0, steps, batch, warmup=3):
+    """(imgs_per_sec, method) with relay-proof fencing: wall-clock when it
+    is physically consistent (>= 90% of the traced device time/step — wall
+    time can never undercut the device work of a sequential program), else
+    the device-occupancy rate."""
+    dev, x = _occupancy_time(step, x0)
+    wall = _chain_time(step, x, steps, warmup=warmup)
+    if dev is None:
+        return batch / wall, "wall-clock"
+    if wall >= 0.9 * dev:
+        return batch / wall, "wall-clock (consistent with traced device time)"
+    return batch / dev, (
+        "device-occupancy (wall-clock unfenceable this run: "
+        f"{wall * 1e3:.2f} ms/step claimed vs {dev * 1e3:.2f} ms of traced "
+        "device time/step; the relay acknowledged buffers before execution)")
+
+
 def _flagship_models(dtype):
     from face_mask_inpaint_tpu.models.reference_fill import ReferenceFill
     from face_mask_inpaint_tpu.models.unet import MaskDetector
@@ -123,15 +177,21 @@ def bench_flagship(batch_size: int, steps: int = 20, dtype=jnp.bfloat16):
     )(key, src, ref, jnp.zeros((batch_size, hw, hw), jnp.float32))
 
     @jax.jit
-    def step(src_img):
+    def fwd(src_img, salt):
         m = detector.apply(md_vars, src_img, method=MaskDetector.predict_mask)
         out = model.apply(g_vars, src_img, ref, m, train=False,
                           rngs={"sample": jax.random.PRNGKey(0)})
-        # chain: next source = this output, rescaled into [0, 1]
-        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+        # chain: next source = this output, rescaled into [0, 1]; the salt
+        # makes every (executable, inputs) pair unique so the relay cannot
+        # memoize any step of the chain
+        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0) + salt
 
-    dt = _chain_time(step, src, steps)
-    return batch_size / dt
+    it = iter(range(1, 10 ** 9))
+
+    def step(src_img):
+        return fwd(src_img, jnp.float32(next(it) * 1e-6))
+
+    return _robust_rate(step, src, steps, batch_size)
 
 
 def bench_unet_forward(steps: int = 20):
@@ -157,7 +217,8 @@ def bench_unet_forward(steps: int = 20):
             return img * 0.999 + m[..., None] * 1e-3
 
         dt = _chain_time(step, x, steps)
-    return 1.0 / dt
+    # host-CPU backend: in-process execution, block_until_ready is real
+    return 1.0 / dt, "wall-clock (host CPU, in-process)"
 
 
 def bench_picnet_noatt(batch_size: int, steps: int = 20, dtype=jnp.bfloat16):
@@ -181,15 +242,19 @@ def bench_picnet_noatt(batch_size: int, steps: int = 20, dtype=jnp.bfloat16):
         {"params": k, "sample": k}, s, r, m, train=False))(key, src, ref, mask)
 
     @jax.jit
-    def step(src_img):
+    def fwd(src_img, salt):
         out = model.apply(g_vars, src_img, ref, mask, train=False,
                           rngs={"sample": jax.random.PRNGKey(0)})
         from face_mask_inpaint_tpu.ops.resize import scale_img
 
-        return jnp.clip(scale_img(out, (h, w)) * 0.5 + 0.5, 0.0, 1.0)
+        return jnp.clip(scale_img(out, (h, w)) * 0.5 + 0.5, 0.0, 1.0) + salt
 
-    dt = _chain_time(step, src, steps)
-    return batch_size / dt
+    it = iter(range(1, 10 ** 9))
+
+    def step(src_img):
+        return fwd(src_img, jnp.float32(next(it) * 1e-6))
+
+    return _robust_rate(step, src, steps, batch_size)
 
 
 def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
@@ -279,40 +344,13 @@ def bench_psp(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
     def step(x):
         return step_fn(vs, md_vars, x, ref, jnp.float32(next(it) * 1e-4))
 
-    x = step(src)
-    jax.block_until_ready(x)
-    for _ in range(3):
-        x = step(x)
-        jax.block_until_ready(x)
-    # DEVICE-OCCUPANCY throughput from a profiled window of the ONE fused
-    # program: wall-clock through this box's remote relay cannot be fenced
-    # (block_until_ready returns before execution — measured 0.9 ms/step
-    # "wall" vs 88 ms of device time/step even for this single program with
-    # per-iteration-unique inputs; round-2 recorded 1059 imgs/s that way).
-    # With a single program and salted inputs, every dispatched step must
-    # execute exactly once on the device, so images / summed device-op time
-    # over the window is the honest hardware-derived rate.
-    import tempfile
-
-    from face_mask_inpaint_tpu.tools.trace_top import device_op_time_s
-
-    tdir = os.environ.get("BENCH_TRACE_DIR") or tempfile.mkdtemp(
-        prefix="psp_bench_trace_")
-    n_prof = 4
-    with jax.profiler.trace(tdir, create_perfetto_trace=True):
-        for _ in range(n_prof):
-            x = step(x)
-            jax.block_until_ready(x)
-    dev_s = device_op_time_s(tdir)
-    if dev_s > 0:
-        return batch_size * n_prof / dev_s
-    # no trace produced (e.g. non-TPU backend): fall back to fenced wall time
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        x = step(x)
-        jax.block_until_ready(x)
-    dt = (time.perf_counter() - t0) / steps
-    return batch_size / dt
+    # _robust_rate: device-occupancy over a profiled window of the ONE
+    # fused program is the ground truth when the relay's block_until_ready
+    # does not fence (measured 0.9 ms/step "wall" vs 84.6 ms of device
+    # time/step even for this single program with per-iteration-unique
+    # inputs); with a single program and salted inputs, every dispatched
+    # step must execute exactly once on the device.
+    return _robust_rate(step, src, steps, batch_size)
 
 
 def bench_gan_train(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
@@ -368,8 +406,10 @@ def bench_gan_train(batch_size: int, steps: int = 10, dtype=jnp.bfloat16):
         new_state, _ = train_step(st, batch)
         return new_state
 
-    dt = _chain_time(step, state, steps, warmup=2)
-    return batch_size / dt
+    # the chained optimizer/param state differs every step by construction
+    # (no salt needed for anti-memoization); _robust_rate still guards
+    # against the relay's unfenced block_until_ready
+    return _robust_rate(step, state, steps, batch_size, warmup=2)
 
 
 _MODES = {
@@ -402,14 +442,14 @@ def _run_flagship(steps):
         sizes = (8, 16, 32)
     else:
         sizes = (int(os.environ.get("BENCH_BS", "16")),)
-    best, best_bs = 0.0, 0
+    best, best_bs, best_method = 0.0, 0, ""
     for bs in sizes:
         try:
-            ips = bench_flagship(bs, steps=steps)
+            ips, method = bench_flagship(bs, steps=steps)
         except Exception:
             break
         if ips > best:
-            best, best_bs = ips, bs
+            best, best_bs, best_method = ips, bs, method
         elif len(sizes) > 1:
             break
     target = ESTIMATED_A100_IMGS_PER_SEC * TARGET_MULTIPLIER
@@ -419,6 +459,7 @@ def _run_flagship(steps):
         "unit": "images/sec/chip",
         "vs_baseline": round(best / target, 4),
         "batch_size": best_bs,
+        "method": best_method,
     })
 
 
@@ -428,20 +469,13 @@ def main():
     if mode != "flagship":
         name, fn, bs = _MODES[mode]
         bs = int(os.environ.get("BENCH_BS", bs))
-        ips = fn(bs, steps)
+        ips, method = fn(bs, steps)
         rec = {"metric": name, "value": round(ips, 2),
-               "unit": "images/sec/chip", "batch_size": bs}
+               "unit": "images/sec/chip", "batch_size": bs,
+               "method": method}
         if mode == "gan_train":
             rec["precision"] = os.environ.get("BENCH_GAN_DTYPE", "bfloat16") \
                 + "-mixed (f32 params/opt/stats/reductions)"
-        if mode == "psp":
-            rec["method"] = (
-                "device-occupancy over a profiled window of ONE fused jit "
-                "program with per-iteration-salted inputs (every dispatch "
-                "must execute exactly once); wall-clock cannot be fenced on "
-                "this box's relay even for a single program — "
-                "block_until_ready returns in ~1 ms while the trace shows "
-                "~85 ms of device time/step")
         print(json.dumps(_with_mfu(rec)))
         return
 
