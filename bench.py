@@ -82,17 +82,30 @@ def _with_mfu(rec):
     return rec
 
 
+def _fetch_scalar(x):
+    """Host-readback fence: materialize ONE element of the (chained) value.
+
+    block_until_ready is not a fence on this box's relay (it can return
+    before execution — see _occupancy_time), but a data readback cannot
+    lie: the element's bytes only exist after the producing execution, and
+    through an x -> f(x) chain the FINAL value transitively requires every
+    step in the chain to have executed. Loop-end readback therefore fences
+    the whole chain without serializing the per-step dispatch pipeline."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def _chain_time(step, x0, steps, warmup=3):
     """step: pytree -> same-structure pytree. Returns secs/step."""
     x = step(x0)
-    jax.block_until_ready(x)
+    _fetch_scalar(x)
     for _ in range(warmup):
         x = step(x)
-    jax.block_until_ready(x)
+    _fetch_scalar(x)
     t0 = time.perf_counter()
     for _ in range(steps):
         x = step(x)
-    jax.block_until_ready(x)
+    _fetch_scalar(x)
     return (time.perf_counter() - t0) / steps
 
 
@@ -110,21 +123,27 @@ def _occupancy_time(step, x0, n_prof=4):
     produced (non-TPU backends)."""
     import tempfile
 
-    from face_mask_inpaint_tpu.tools.trace_top import device_op_time_s
+    from face_mask_inpaint_tpu.tools.trace_top import device_op_stats
 
     x = step(x0)
-    jax.block_until_ready(x)
-    time.sleep(5.0)  # drain any unfenced in-flight work
-    tdir = tempfile.mkdtemp(prefix="bench_occ_trace_")
+    _fetch_scalar(x)  # readback fence (see _fetch_scalar)
+    time.sleep(2.0)  # belt-and-braces drain before opening the window
+    tdir = os.environ.get("BENCH_OCC_TRACE_DIR") or tempfile.mkdtemp(
+        prefix="bench_occ_trace_")
     with jax.profiler.trace(tdir, create_perfetto_trace=True):
         for _ in range(n_prof):
             x = step(x)
-            jax.block_until_ready(x)
-        time.sleep(5.0)  # let the window's device work complete in-window
-    dev_s = device_op_time_s(tdir)
+        _fetch_scalar(x)  # the chain fences every window step in-window
+        time.sleep(1.0)
+    # normalize by the executions the window ACTUALLY captured (median
+    # per-op event count) rather than assuming n_prof: extra executions
+    # spilling in, or ops recorded on two tracks, inflate totals and
+    # counts by the same factor (round-5 caught the gan_train window at
+    # 2.2x its true per-step time that way)
+    dev_s, n_exec = device_op_stats(tdir)
     # returns the chained value too: donated-argument steps (gan_train)
     # cannot re-consume x0
-    return (dev_s / n_prof if dev_s > 0 else None), x
+    return (dev_s / n_exec if dev_s > 0 and n_exec > 0 else None), x
 
 
 def _robust_rate(step, x0, steps, batch, warmup=3):
@@ -135,13 +154,16 @@ def _robust_rate(step, x0, steps, batch, warmup=3):
     dev, x = _occupancy_time(step, x0)
     wall = _chain_time(step, x, steps, warmup=warmup)
     if dev is None:
-        return batch / wall, "wall-clock"
+        return batch / wall, "wall-clock (readback-fenced chain; no trace)"
     if wall >= 0.9 * dev:
-        return batch / wall, "wall-clock (consistent with traced device time)"
+        return batch / wall, (
+            "wall-clock (readback-fenced chain, consistent with traced "
+            f"device time {dev * 1e3:.2f} ms/step)")
     return batch / dev, (
-        "device-occupancy (wall-clock unfenceable this run: "
-        f"{wall * 1e3:.2f} ms/step claimed vs {dev * 1e3:.2f} ms of traced "
-        "device time/step; the relay acknowledged buffers before execution)")
+        "device-occupancy (readback-fenced wall-clock read "
+        f"{wall * 1e3:.2f} ms/step vs {dev * 1e3:.2f} ms of traced device "
+        "time/step — physically impossible for a sequential chain, so the "
+        "hardware-derived per-execution time is recorded)")
 
 
 def _flagship_models(dtype):

@@ -32,9 +32,23 @@ def device_op_time_s(root) -> float:
     relay cannot be fenced reliably (block_until_ready returns before the
     intermediate executables of a multi-program chain have run), but the
     per-op device durations are hardware-derived."""
+    return device_op_stats(root)[0]
+
+
+def device_op_stats(root) -> tuple[float, int]:
+    """(summed device-op seconds, executions-per-op median) for the window.
+
+    The second value self-normalizes a profiled window to per-execution
+    time: most compiled-program ops run exactly once per step, so the
+    median event count across op names IS the number of step executions
+    the window actually captured — robust both to extra executions
+    spilling into the window (unfenced dispatch) and to trace formats that
+    record an op on more than one track (each inflates counts and totals
+    by the same factor). Ops contributing <0.5% of the max per-op total
+    are ignored for the median (tiny glue ops have odd counts)."""
     events, _ = load_trace_events(root)
     if events is None:
-        return 0.0
+        return 0.0, 0
     pid_name, tid_name = {}, {}
     for e in events:
         if e.get("ph") == "M":
@@ -44,7 +58,8 @@ def device_op_time_s(root) -> float:
                 tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "/device" in n.lower() or "Device" in n}
-    wall = 0.0
+    tot = collections.Counter()
+    cnt = collections.Counter()
     for e in events:
         if e.get("ph") != "X":
             continue
@@ -53,8 +68,15 @@ def device_op_time_s(root) -> float:
             name = e.get("name", "?")
             if name.startswith("jit_") or name == "Steps":
                 continue
-            wall += e.get("dur", 0)
-    return wall / 1e6
+            tot[name] += e.get("dur", 0)
+            cnt[name] += 1
+    wall = sum(tot.values())
+    if not tot:
+        return 0.0, 0
+    floor = 0.005 * max(tot.values())
+    counts = sorted(cnt[n] for n, us in tot.items() if us >= floor)
+    n_exec = counts[len(counts) // 2] if counts else 0
+    return wall / 1e6, n_exec
 
 
 def main():
