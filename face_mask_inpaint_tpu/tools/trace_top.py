@@ -58,13 +58,24 @@ def device_op_stats(root) -> tuple[float, int]:
                 tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     dev_pids = {p for p, n in pid_name.items()
                 if "TPU" in n or "/device" in n.lower() or "Device" in n}
+    # Per-op durations live on the "XLA Ops" thread. Device pids can carry
+    # sibling threads spanning the SAME time ("XLA Modules" with jit_*
+    # names, and — in some trace variants — a "Steps" thread whose events
+    # are NAMED with step numbers); summing those double-counts (round 5
+    # caught the gan_train window reporting 2x its true device time).
+    have_threads = any("XLA Op" in n for n in tid_name.values())
     tot = collections.Counter()
     cnt = collections.Counter()
+    n_steps_thread = 0
     for e in events:
         if e.get("ph") != "X":
             continue
         tname = tid_name.get((e.get("pid"), e.get("tid")), "")
-        if e.get("pid") in dev_pids or "XLA Op" in tname or "Steps" in tname:
+        on_dev = e.get("pid") in dev_pids
+        if on_dev and "Steps" in tname:
+            n_steps_thread += 1
+            continue
+        if ("XLA Op" in tname) if have_threads else on_dev:
             name = e.get("name", "?")
             if name.startswith("jit_") or name == "Steps":
                 continue
@@ -73,6 +84,9 @@ def device_op_stats(root) -> tuple[float, int]:
     wall = sum(tot.values())
     if not tot:
         return 0.0, 0
+    if n_steps_thread:
+        # the Steps thread literally counts the executions in the window
+        return wall / 1e6, n_steps_thread
     floor = 0.005 * max(tot.values())
     counts = sorted(cnt[n] for n, us in tot.items() if us >= floor)
     n_exec = counts[len(counts) // 2] if counts else 0
